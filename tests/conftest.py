@@ -1,0 +1,56 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh so sharding
+tests work without TPU hardware (the env vars must be set before jax
+import)."""
+
+import os
+import sys
+import types
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the image defaults to the axon TPU tunnel
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# sitecustomize pre-imports jax with the axon TPU backend registered; the
+# backend initializes lazily, so switching config here still takes effect.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _stub_module(name: str, **attrs) -> None:
+    if name in sys.modules:
+        return
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+
+
+def import_reference_whisper():
+    """Import the reference torch `whisper` package (read-only) for parity
+    tests, stubbing out the GPU/JIT deps absent in this image."""
+    if "whisper" in sys.modules and getattr(
+        sys.modules["whisper"], "__file__", ""
+    ).startswith(REFERENCE_ROOT):
+        return sys.modules["whisper"]
+
+    def _identity_jit(*args, **kwargs):
+        if len(args) == 1 and callable(args[0]) and not kwargs:
+            return args[0]
+        return lambda f: f
+
+    _stub_module("numba", jit=_identity_jit, njit=_identity_jit)
+    _stub_module("triton")
+    _stub_module("triton.language")
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import whisper  # noqa: F401
+
+    assert whisper.__file__.startswith(REFERENCE_ROOT)
+    return whisper

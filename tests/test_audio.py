@@ -1,0 +1,67 @@
+"""Frontend parity: mel filterbank, STFT-as-matmul log-mel, pad_or_trim."""
+
+import numpy as np
+import pytest
+
+from whisper_flamingo_tpu.audio import (
+    HOP_LENGTH,
+    N_FFT,
+    N_FRAMES,
+    N_SAMPLES,
+    log_mel_spectrogram,
+    mel_filters_np,
+    pad_or_trim,
+)
+
+
+def test_mel_filters_match_reference_asset():
+    ref = np.load("/root/reference/whisper/assets/mel_filters.npz")
+    for n_mels in (80, 128):
+        ours = mel_filters_np(n_mels)
+        theirs = ref[f"mel_{n_mels}"]
+        assert ours.shape == theirs.shape
+        np.testing.assert_allclose(ours, theirs, atol=1e-7)
+
+
+def test_log_mel_matches_torch_stft():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal(N_SAMPLES).astype(np.float32) * 0.1
+
+    # independent torch computation of the same definition
+    at = torch.from_numpy(audio)
+    window = torch.hann_window(N_FFT)
+    stft = torch.stft(at, N_FFT, HOP_LENGTH, window=window, return_complex=True)
+    magnitudes = stft[..., :-1].abs() ** 2
+    filters = torch.from_numpy(mel_filters_np(80))
+    mel_spec = filters @ magnitudes
+    log_spec = torch.clamp(mel_spec, min=1e-10).log10()
+    log_spec = torch.maximum(log_spec, log_spec.max() - 8.0)
+    expected = ((log_spec + 4.0) / 4.0).numpy()
+
+    ours = np.asarray(log_mel_spectrogram(audio))
+    assert ours.shape == (80, N_FRAMES)
+    np.testing.assert_allclose(ours, expected, atol=2e-5, rtol=1e-4)
+
+
+def test_log_mel_batched_and_short():
+    rng = np.random.default_rng(1)
+    batch = rng.standard_normal((3, 16000)).astype(np.float32)
+    out = np.asarray(log_mel_spectrogram(batch))
+    assert out.shape == (3, 80, 100)
+    one = np.asarray(log_mel_spectrogram(batch[1]))
+    np.testing.assert_allclose(one, out[1], atol=1e-6)
+
+
+def test_spectrogram_passthrough():
+    spec = np.zeros((80, 3000), np.float32)
+    assert log_mel_spectrogram(spec) is spec
+
+
+def test_pad_or_trim():
+    x = np.ones((2, 100), np.float32)
+    padded = pad_or_trim(x, 160)
+    assert padded.shape == (2, 160)
+    assert padded[:, 100:].sum() == 0
+    trimmed = pad_or_trim(x, 50)
+    assert trimmed.shape == (2, 50)

@@ -1,0 +1,121 @@
+"""Decoding-engine parity: greedy and beam search vs the reference
+implementation on a shared random tiny model."""
+
+import numpy as np
+import pytest
+
+from conftest import import_reference_whisper
+
+from whisper_flamingo_tpu.decoding import DecodingOptions, DecodingTask, decode
+from whisper_flamingo_tpu.models.dims import MODEL_DIMS
+from whisper_flamingo_tpu.models.whisper import ModelExtras, Whisper
+from whisper_flamingo_tpu.training.checkpoints import load_torch_state
+
+DIMS = MODEL_DIMS["debug"]
+
+
+@pytest.fixture(scope="module")
+def models():
+    import torch
+
+    torch.manual_seed(7)
+    whisper = import_reference_whisper()
+    ref_dims = whisper.ModelDimensions(**DIMS.to_dict())
+    ref = whisper.model.Whisper(
+        ref_dims, dropout_rate=0.0, add_adapter=False, adapter_dim=256,
+        add_gated_x_attn=0, bert_dim=768, num_langs=0,
+    )
+    ref.eval()
+    with torch.no_grad():
+        ref.decoder.positional_embedding.normal_(0, 0.02)
+    params = load_torch_state(ref.state_dict(), DIMS, ModelExtras())
+    ours = Whisper(dims=DIMS, params=params)
+    return ref, ours
+
+
+@pytest.fixture(scope="module")
+def mel():
+    rng = np.random.default_rng(11)
+    return rng.standard_normal((2, 80, 3000)).astype(np.float32) * 0.5
+
+
+def _ref_decode(ref, mel, **opts):
+    import torch
+
+    whisper = import_reference_whisper()
+    options = whisper.DecodingOptions(fp16=False, **opts)
+    with torch.no_grad():
+        return whisper.decode(ref, torch.from_numpy(mel), options)
+
+
+def _our_decode(ours, mel, **opts):
+    return decode(ours, mel, DecodingOptions(fp16=False, **opts))
+
+
+@pytest.mark.parametrize("without_timestamps", [True, False])
+def test_greedy_parity(models, mel, without_timestamps):
+    ref, ours = models
+    kw = dict(
+        language="en", sample_len=16, without_timestamps=without_timestamps
+    )
+    expected = _ref_decode(ref, mel, **kw)
+    got = _our_decode(ours, mel, **kw)
+    for e, g in zip(expected, got):
+        assert g.tokens == [int(t) for t in e.tokens]
+        assert g.text == e.text
+        assert np.isclose(g.avg_logprob, e.avg_logprob, atol=1e-3)
+        assert np.isclose(g.no_speech_prob, e.no_speech_prob, atol=1e-3)
+
+
+def test_beam_parity(models, mel):
+    ref, ours = models
+    kw = dict(language="en", sample_len=12, beam_size=3, without_timestamps=True)
+    expected = _ref_decode(ref, mel, **kw)
+    got = _our_decode(ours, mel, **kw)
+    for e, g in zip(expected, got):
+        assert g.tokens == [int(t) for t in e.tokens]
+        assert np.isclose(g.avg_logprob, e.avg_logprob, atol=1e-3)
+
+
+def test_beam_patience_runs(models, mel):
+    _, ours = models
+    res = _our_decode(
+        ours, mel, language="en", sample_len=10, beam_size=2, patience=2.0,
+        without_timestamps=True,
+    )
+    assert len(res) == 2
+    assert all(isinstance(r.text, str) for r in res)
+
+
+def test_prompt_and_prefix(models, mel):
+    ref, ours = models
+    kw = dict(
+        language="en", sample_len=8, without_timestamps=True,
+        prompt="previous context words", prefix="the",
+    )
+    expected = _ref_decode(ref, mel, **kw)
+    got = _our_decode(ours, mel, **kw)
+    task = DecodingTask(ours, DecodingOptions(fp16=False, **kw))
+    assert task.initial_tokens[0] == task.tokenizer.sot_prev
+    for e, g in zip(expected, got):
+        assert g.tokens == [int(t) for t in e.tokens]
+
+
+def test_temperature_sampling_runs(models, mel):
+    _, ours = models
+    res = _our_decode(
+        ours, mel, language="en", sample_len=8, temperature=0.8, best_of=2,
+        without_timestamps=True,
+    )
+    assert len(res) == 2
+    for r in res:
+        assert r.temperature == 0.8
+
+
+def test_language_detection(models, mel):
+    from whisper_flamingo_tpu.decoding import detect_language
+
+    _, ours = models
+    toks, probs = detect_language(ours, mel)
+    assert toks.shape == (2,)
+    assert len(probs) == 2 and abs(sum(probs[0].values()) - 1.0) < 1e-3

@@ -1,0 +1,775 @@
+"""Decoding engine: jitted, fixed-shape greedy / best-of-N / beam search.
+
+Rebuild of the reference decode stack (`/root/reference/whisper/decoding.py`)
+as a single compiled XLA program per configuration:
+
+- ``DecodingOptions`` / ``DecodingResult`` keep the reference fields
+  (`decoding.py:80-127`).
+- The sampling loop (`decoding.py:688-718`) becomes a
+  ``lax.while_loop`` whose carry holds the token buffer, the preallocated
+  KV cache, cumulative log-probs, and the finished-beam bookkeeping. One
+  decoder step per token (incremental KV cache) — restoring the caching
+  the reference fork disabled (`decoding.py:155-164`).
+- The beam search (`decoding.py:305-408`), which the reference drives
+  through Python dicts, is re-derived as pure array ops: per-beam
+  ``top_k(beam+1)`` candidate expansion, a global sort per audio, rank
+  masks selecting the top ``beam_size`` unfinished continuations, a
+  fixed-capacity finished buffer implementing the patience rule
+  (arXiv 2204.05424), and a batched gather that reorders the KV cache.
+- The logit filters (`decoding.py:427-509`) — suppress-blank,
+  suppress-tokens, and the timestamp rules — are vectorized masks over
+  the whole (batch, vocab) logits array; no per-row Python.
+
+Only final text extraction (BPE decode, length-penalty ranking over at
+most ``beam*patience`` candidates) runs on host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import cached_property, lru_cache, partial
+from typing import TYPE_CHECKING, Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio import CHUNK_LENGTH
+from .models.whisper import decoder_apply, encoder_apply, init_cache
+from .tokenizer import Tokenizer, get_tokenizer
+from .utils import compression_ratio
+
+if TYPE_CHECKING:
+    from .models.whisper import Whisper
+
+NEG_INF = float("-inf")
+
+
+@dataclass(frozen=True)
+class DecodingOptions:
+    """Parity: reference decoding.py:80-114 (same fields and defaults,
+    plus ``fp16``-analogous ``bf16`` for TPU compute dtype and an rng seed
+    for temperature sampling)."""
+
+    task: str = "transcribe"
+    language: Optional[str] = None
+
+    temperature: float = 0.0
+    sample_len: Optional[int] = None
+    best_of: Optional[int] = None
+    beam_size: Optional[int] = None
+    patience: Optional[float] = None
+
+    length_penalty: Optional[float] = None
+
+    prompt: Optional[Union[str, List[int]]] = None
+    prefix: Optional[Union[str, List[int]]] = None
+
+    suppress_tokens: Optional[Union[str, Iterable[int]]] = "-1"
+    suppress_blank: bool = True
+
+    without_timestamps: bool = False
+    max_initial_timestamp: Optional[float] = 1.0
+
+    fp16: bool = True  # on TPU this selects bfloat16 compute
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class DecodingResult:
+    """Parity: reference decoding.py:117-127."""
+
+    audio_features: Optional[np.ndarray]
+    language: str
+    language_probs: Optional[Dict[str, float]] = None
+    tokens: List[int] = field(default_factory=list)
+    text: str = ""
+    avg_logprob: float = np.nan
+    no_speech_prob: float = np.nan
+    temperature: float = np.nan
+    compression_ratio: float = np.nan
+
+
+# ---------------------------------------------------------------------------
+# Language identification (parity: reference decoding.py:18-77)
+# ---------------------------------------------------------------------------
+
+def detect_language(
+    model: "Whisper", mel, tokenizer: Optional[Tokenizer] = None
+):
+    """Return (language_tokens (n_audio,), language_probs list-of-dicts)."""
+    if tokenizer is None:
+        tokenizer = get_tokenizer(model.is_multilingual, num_languages=model.num_languages)
+    if tokenizer.language is None or tokenizer.language_token not in tokenizer.sot_sequence:
+        raise ValueError("This model doesn't have language tokens so it can't perform lang id")
+
+    mel = jnp.asarray(mel)
+    single = mel.ndim == 2
+    if single:
+        mel = mel[None]
+
+    if mel.shape[-2:] != (model.dims.n_audio_ctx, model.dims.n_audio_state):
+        mel = encoder_apply(model.params, model.dims, mel, dtype=model.dtype)
+
+    n_audio = mel.shape[0]
+    x = jnp.full((n_audio, 1), tokenizer.sot, dtype=jnp.int32)
+    logits, _ = decoder_apply(model.params, model.dims, x, mel, dtype=model.dtype)
+    logits = logits[:, 0]
+
+    mask = np.ones(logits.shape[-1], dtype=bool)
+    mask[list(tokenizer.all_language_tokens)] = False
+    logits = jnp.where(jnp.asarray(mask)[None, :], NEG_INF, logits)
+    language_tokens = jnp.argmax(logits, axis=-1)
+    language_token_probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+    language_probs = [
+        {
+            c: float(language_token_probs[i, j])
+            for j, c in zip(tokenizer.all_language_tokens, tokenizer.all_language_codes)
+        }
+        for i in range(n_audio)
+    ]
+    if single:
+        return language_tokens[0], language_probs[0]
+    return language_tokens, language_probs
+
+
+# ---------------------------------------------------------------------------
+# Vectorized logit filters (parity: reference decoding.py:427-509)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class _FilterConfig:
+    sample_begin: int
+    eot: int
+    blank_tokens: Tuple[int, ...]
+    suppress_tokens: Tuple[int, ...]
+    timestamp_begin: Optional[int]
+    no_timestamps: Optional[int]
+    max_initial_timestamp_index: Optional[int]
+    apply_blank: bool
+    apply_suppress: bool
+    apply_timestamps: bool
+
+
+def _apply_filters(cfg: _FilterConfig, logits, tokens, cur_len):
+    """All filters as masks over logits (N, V); tokens (N, L); cur_len scalar."""
+    n, v = logits.shape
+    is_begin = cur_len == cfg.sample_begin
+
+    if cfg.apply_suppress and cfg.suppress_tokens:
+        sup = np.zeros((v,), np.float32)
+        sup[list(cfg.suppress_tokens)] = NEG_INF
+        logits = logits + jnp.asarray(sup)[None, :]
+
+    if cfg.apply_blank and cfg.blank_tokens:
+        blank = np.zeros((v,), np.float32)
+        blank[list(cfg.blank_tokens)] = NEG_INF
+        logits = jnp.where(is_begin, logits + jnp.asarray(blank)[None, :], logits)
+
+    if cfg.apply_timestamps:
+        ts_begin = cfg.timestamp_begin
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, v), 1)
+
+        # suppress <|notimestamps|> (handled by without_timestamps)
+        logits = jnp.where(col == cfg.no_timestamps, NEG_INF, logits)
+
+        last = jnp.take_along_axis(
+            tokens, jnp.maximum(cur_len - 1, 0)[None, None].repeat(n, 0), axis=1
+        )[:, 0]
+        penult = jnp.take_along_axis(
+            tokens, jnp.maximum(cur_len - 2, 0)[None, None].repeat(n, 0), axis=1
+        )[:, 0]
+        n_sampled = cur_len - cfg.sample_begin
+        last_was_ts = (n_sampled >= 1) & (last >= ts_begin)
+        penult_was_ts = (n_sampled < 2) | (penult >= ts_begin)
+
+        # timestamps appear in pairs, except directly before EOT
+        mask_a = last_was_ts & penult_was_ts  # next must be non-timestamp
+        mask_b = last_was_ts & ~penult_was_ts  # next cannot be text
+        logits = jnp.where(
+            mask_a[:, None] & (col >= ts_begin), NEG_INF, logits
+        )
+        logits = jnp.where(mask_b[:, None] & (col < cfg.eot), NEG_INF, logits)
+
+        # timestamps must be monotonic; segments must have nonzero length.
+        # The rules above guarantee sampled timestamps are non-decreasing,
+        # so the masked max equals the reference's "last timestamp".
+        pos = jax.lax.broadcasted_iota(jnp.int32, tokens.shape, 1)
+        sampled = (pos >= cfg.sample_begin) & (pos < cur_len)
+        is_ts = sampled & (tokens >= ts_begin)
+        have_ts = jnp.any(is_ts, axis=1)
+        ts_max = jnp.max(jnp.where(is_ts, tokens, -1), axis=1)
+        ts_limit = jnp.where(mask_b, ts_max, ts_max + 1)
+        logits = jnp.where(
+            have_ts[:, None] & (col >= ts_begin) & (col < ts_limit[:, None]),
+            NEG_INF,
+            logits,
+        )
+
+        # at the very beginning: timestamps only, capped at max_initial
+        logits = jnp.where(is_begin & (col < ts_begin), NEG_INF, logits)
+        if cfg.max_initial_timestamp_index is not None:
+            last_allowed = ts_begin + cfg.max_initial_timestamp_index
+            logits = jnp.where(is_begin & (col > last_allowed), NEG_INF, logits)
+
+        # if the total timestamp probability beats any text token, force one
+        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ts_logprob = jax.nn.logsumexp(logprobs[:, ts_begin:], axis=-1)
+        max_text = jnp.max(logprobs[:, :ts_begin], axis=-1)
+        force_ts = ts_logprob > max_text
+        logits = jnp.where(force_ts[:, None] & (col < ts_begin), NEG_INF, logits)
+
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# Decoding task
+# ---------------------------------------------------------------------------
+
+class DecodingTask:
+    """Precomputes static decode configuration and runs the jitted loop.
+
+    Parity target: reference ``DecodingTask`` (decoding.py:512-798) —
+    same option verification, initial-token construction (prompt/prefix
+    splicing, decoding.py:591-617), suppress list (decoding.py:619-646),
+    and result assembly.
+    """
+
+    def __init__(self, model: "Whisper", options: DecodingOptions):
+        self.model = model
+
+        language = options.language or "en"
+        tokenizer = get_tokenizer(
+            model.is_multilingual,
+            num_languages=model.num_languages,
+            language=language,
+            task=options.task,
+        )
+        self.tokenizer = tokenizer
+        self.options = self._verify_options(options)
+
+        self.n_group: int = options.beam_size or options.best_of or 1
+        self.n_ctx: int = model.dims.n_text_ctx
+        self.sample_len: int = options.sample_len or model.dims.n_text_ctx // 2
+
+        self.sot_sequence = tokenizer.sot_sequence
+        if self.options.without_timestamps:
+            self.sot_sequence = tokenizer.sot_sequence_including_notimestamps
+
+        self.initial_tokens: Tuple[int, ...] = self._get_initial_tokens()
+        self.sample_begin: int = len(self.initial_tokens)
+        self.sot_index: int = self.initial_tokens.index(tokenizer.sot)
+        self.max_len: int = min(self.n_ctx, self.sample_begin + self.sample_len)
+
+        self.beam_size = options.beam_size
+        self.patience = options.patience or 1.0
+        self.max_candidates = (
+            round(self.beam_size * self.patience) if self.beam_size else self.n_group
+        )
+        if self.beam_size:
+            assert self.max_candidates > 0, (
+                f"Invalid beam size ({self.beam_size}) or patience ({options.patience})"
+            )
+
+        max_initial_timestamp_index = None
+        if not options.without_timestamps and options.max_initial_timestamp:
+            precision = CHUNK_LENGTH / model.dims.n_audio_ctx  # usually 0.02 s
+            max_initial_timestamp_index = round(options.max_initial_timestamp / precision)
+
+        self.filter_cfg = _FilterConfig(
+            sample_begin=self.sample_begin,
+            eot=tokenizer.eot,
+            blank_tokens=tuple(tokenizer.encode(" ") + [tokenizer.eot]),
+            suppress_tokens=self._get_suppress_tokens(),
+            timestamp_begin=tokenizer.timestamp_begin,
+            no_timestamps=tokenizer.no_timestamps,
+            max_initial_timestamp_index=max_initial_timestamp_index,
+            apply_blank=self.options.suppress_blank,
+            apply_suppress=bool(self.options.suppress_tokens),
+            apply_timestamps=not self.options.without_timestamps,
+        )
+        self.compute_dtype = jnp.bfloat16 if options.fp16 else jnp.float32
+
+    # -- option/token plumbing (host) -------------------------------------
+
+    def _verify_options(self, options: DecodingOptions) -> DecodingOptions:
+        if options.beam_size is not None and options.best_of is not None:
+            raise ValueError("beam_size and best_of can't be given together")
+        if options.temperature == 0:
+            if options.best_of is not None:
+                raise ValueError("best_of with greedy sampling (T=0) is not compatible")
+        if options.patience is not None and options.beam_size is None:
+            raise ValueError("patience requires beam_size to be given")
+        if options.length_penalty is not None and not (0 <= options.length_penalty <= 1):
+            raise ValueError("length_penalty (alpha) should be a value between 0 and 1")
+        return options
+
+    def _get_initial_tokens(self) -> Tuple[int, ...]:
+        tokens = list(self.sot_sequence)
+
+        if prefix := self.options.prefix:
+            prefix_tokens = (
+                self.tokenizer.encode(" " + prefix.strip())
+                if isinstance(prefix, str)
+                else prefix
+            )
+            if self.sample_len is not None:
+                max_prefix_len = self.n_ctx // 2 - self.sample_len
+                prefix_tokens = prefix_tokens[-max_prefix_len:]
+            tokens = tokens + prefix_tokens
+
+        if prompt := self.options.prompt:
+            prompt_tokens = (
+                self.tokenizer.encode(" " + prompt.strip())
+                if isinstance(prompt, str)
+                else prompt
+            )
+            tokens = (
+                [self.tokenizer.sot_prev]
+                + prompt_tokens[-(self.n_ctx // 2 - 1):]
+                + tokens
+            )
+        return tuple(tokens)
+
+    def _get_suppress_tokens(self) -> Tuple[int, ...]:
+        suppress_tokens = self.options.suppress_tokens
+        if isinstance(suppress_tokens, str):
+            suppress_tokens = [int(t) for t in suppress_tokens.split(",")]
+
+        if suppress_tokens is None:
+            suppress_tokens = []
+        else:
+            suppress_tokens = list(suppress_tokens)
+        if -1 in suppress_tokens:
+            suppress_tokens = [t for t in suppress_tokens if t >= 0]
+            suppress_tokens.extend(self.tokenizer.non_speech_tokens)
+
+        suppress_tokens.extend(
+            [
+                self.tokenizer.transcribe,
+                self.tokenizer.translate,
+                self.tokenizer.sot,
+                self.tokenizer.sot_prev,
+                self.tokenizer.sot_lm,
+            ]
+        )
+        if self.tokenizer.no_speech is not None:
+            suppress_tokens.append(self.tokenizer.no_speech)
+        return tuple(sorted(set(suppress_tokens)))
+
+    # -- device programs ---------------------------------------------------
+
+    @cached_property
+    def _compiled(self):
+        return _make_decode_program(
+            self.model.dims,
+            self.filter_cfg,
+            self.n_group,
+            self.tokenizer.eot,
+            self.max_len,
+            self.options.temperature,
+            self.beam_size is not None,
+            self.max_candidates,
+            self.compute_dtype,
+            self.tokenizer.no_speech,
+            self.sot_index,
+        )
+
+
+
+
+    # -- host-side finalize ------------------------------------------------
+
+    def _finalize(self, out) -> Tuple[List[List[np.ndarray]], List[List[float]]]:
+        """Collect candidate sequences per audio (parity: decoding.py:299-302,
+        388-408)."""
+        G = self.n_group
+        eot = self.tokenizer.eot
+        tokens = np.asarray(out["tokens"])
+        sum_logprobs = np.asarray(out["sum_logprobs"])
+        n_batch = tokens.shape[0]
+        B = n_batch // G
+
+        if self.beam_size is None:
+            # greedy/best-of: every group member is a candidate
+            grouped = tokens.reshape(B, G, -1)
+            lps = sum_logprobs.reshape(B, G)
+            return (
+                [[grouped[i, j] for j in range(G)] for i in range(B)],
+                [list(map(float, lps[i])) for i in range(B)],
+            )
+
+        fin_tokens = np.asarray(out["fin_tokens"])  # (B, C, L)
+        fin_scores = np.asarray(out["fin_scores"])
+        fin_count = np.asarray(out["fin_count"])
+        grouped = tokens.reshape(B, G, -1)
+        lps = sum_logprobs.reshape(B, G)
+
+        all_tokens, all_scores = [], []
+        for i in range(B):
+            seqs = [fin_tokens[i, c] for c in range(int(fin_count[i]))]
+            scores = [float(fin_scores[i, c]) for c in range(int(fin_count[i]))]
+            if len(seqs) < self.beam_size:
+                for j in np.argsort(lps[i])[::-1]:
+                    seq = np.concatenate([grouped[i, j], [eot]])
+                    seqs.append(seq)
+                    scores.append(float(lps[i, j]))
+                    if len(seqs) >= self.beam_size:
+                        break
+            all_tokens.append(seqs)
+            all_scores.append(scores)
+        return all_tokens, all_scores
+
+    def _rank(self, tokens: List[List[np.ndarray]], sum_logprobs: List[List[float]]):
+        """GNMT length-penalty ranking (parity: decoding.py:194-217)."""
+        alpha = self.options.length_penalty
+
+        def scores(logprobs, lengths):
+            result = []
+            for logprob, length in zip(logprobs, lengths):
+                penalty = length if alpha is None else ((5 + length) / 6) ** alpha
+                result.append(logprob / penalty)
+            return result
+
+        lengths = [[len(t) for t in s] for s in tokens]
+        return [int(np.argmax(scores(p, l))) for p, l in zip(sum_logprobs, lengths)]
+
+    # -- public API --------------------------------------------------------
+
+    def run(self, mel) -> List[DecodingResult]:
+        tokenizer = self.tokenizer
+        mel = jnp.asarray(mel)
+        n_audio = mel.shape[0]
+
+        if mel.shape[-2:] == (self.model.dims.n_audio_ctx, self.model.dims.n_audio_state):
+            audio_features = mel.astype(self.compute_dtype)
+        else:
+            audio_features = encoder_apply(
+                self.model.params, self.model.dims, mel, dtype=self.compute_dtype
+            )
+
+        init = np.tile(np.asarray(self.initial_tokens, np.int32), (n_audio, 1))
+
+        # language detection, overwriting the language token (decoding.py:674-686)
+        languages = [self.options.language] * n_audio
+        language_probs: List[Optional[dict]] = [None] * n_audio
+        if self.options.language is None or self.options.task == "lang_id":
+            lang_tokens, language_probs = detect_language(
+                self.model, audio_features, tokenizer
+            )
+            languages = [max(p, key=p.get) for p in np.atleast_1d(language_probs)]
+            if self.options.language is None:
+                init[:, self.sot_index + 1] = np.asarray(lang_tokens).reshape(-1)
+        if self.options.task == "lang_id":
+            return [
+                DecodingResult(
+                    audio_features=np.asarray(audio_features[i]),
+                    language=languages[i],
+                    language_probs=language_probs[i],
+                )
+                for i in range(n_audio)
+            ]
+
+        G = self.n_group
+        features_rep = jnp.repeat(audio_features, G, axis=0)
+        init_rep = jnp.asarray(np.repeat(init, G, axis=0))
+        rng = jax.random.PRNGKey(self.options.seed)
+
+        out = self._compiled(self.model.params, features_rep, init_rep, rng)
+
+        no_speech_probs = np.asarray(out["no_speech_probs"])[::G]
+        cand_tokens, cand_scores = self._finalize(out)
+
+        # slice between sample_begin and EOT
+        sliced: List[List[np.ndarray]] = []
+        for seqs in cand_tokens:
+            rows = []
+            for t in seqs:
+                t = np.asarray(t)
+                eots = np.nonzero(t[self.sample_begin:] == tokenizer.eot)[0]
+                end = self.sample_begin + (eots[0] if len(eots) else len(t))
+                rows.append(t[self.sample_begin:end])
+            sliced.append(rows)
+
+        selected = self._rank(sliced, cand_scores)
+        final_tokens: List[List[int]] = [
+            sliced[i][selected[i]].tolist() for i in range(n_audio)
+        ]
+        texts = [tokenizer.decode(t).strip() for t in final_tokens]
+        final_scores = [cand_scores[i][selected[i]] for i in range(n_audio)]
+        avg_logprobs = [
+            lp / (len(t) + 1) for t, lp in zip(final_tokens, final_scores)
+        ]
+
+        return [
+            DecodingResult(
+                audio_features=np.asarray(audio_features[i]),
+                language=languages[i],
+                tokens=final_tokens[i],
+                text=texts[i],
+                avg_logprob=float(avg_logprobs[i]),
+                no_speech_prob=float(no_speech_probs[i]),
+                temperature=self.options.temperature,
+                compression_ratio=compression_ratio(texts[i]),
+            )
+            for i in range(n_audio)
+        ]
+
+
+def decode(
+    model: "Whisper",
+    mel,
+    options: DecodingOptions = DecodingOptions(),
+    **kwargs,
+) -> Union[DecodingResult, List[DecodingResult]]:
+    """Decode 30-second mel segment(s). Parity: reference decoding.py:801-838."""
+    mel = jnp.asarray(mel)
+    single = mel.ndim == 2
+    if single:
+        mel = mel[None]
+    if kwargs:
+        options = replace(options, **kwargs)
+    result = DecodingTask(model, options).run(mel)
+    return result[0] if single else result
+
+
+
+@lru_cache(maxsize=None)
+def _make_decode_program(
+    dims,
+    cfg: _FilterConfig,
+    G: int,
+    eot: int,
+    max_len: int,
+    temperature: float,
+    use_beam: bool,
+    C: int,
+    dtype,
+    no_speech,
+    sot_index: int,
+):
+    """Build (and cache) the jitted end-to-end decode program for one
+    static decode configuration."""
+
+    def prefill_and_loop(params, audio_features, init_tokens, rng):
+        n_batch = init_tokens.shape[0]  # B * G
+        init_len = init_tokens.shape[1]
+
+        cache = init_cache(
+            params, dims, audio_features, max_len=max_len, dtype=dtype
+        )
+        logits, cache = decoder_apply(
+            params, dims, init_tokens, cache=cache, offset=0, dtype=dtype
+        )
+        no_speech_probs = jax.nn.softmax(
+            logits[:, sot_index].astype(jnp.float32), axis=-1
+        )[:, no_speech] if no_speech is not None else jnp.full((n_batch,), jnp.nan)
+
+        tokens = jnp.full((n_batch, max_len + 1), eot, dtype=jnp.int32)
+        tokens = jax.lax.dynamic_update_slice(tokens, init_tokens.astype(jnp.int32), (0, 0))
+
+        state = {
+            "tokens": tokens,
+            "cur_len": jnp.asarray(init_len, jnp.int32),
+            "sum_logprobs": (
+                jnp.tile(
+                    jnp.asarray([0.0] + [NEG_INF] * (G - 1), jnp.float32),
+                    n_batch // G,
+                )
+                if use_beam
+                else jnp.zeros((n_batch,), jnp.float32)
+            ),
+            "finished": jnp.zeros((n_batch,), bool),
+            "cache": cache,
+            "last_logits": logits[:, -1].astype(jnp.float32),
+            "rng": rng,
+            "completed": jnp.asarray(False),
+        }
+        if use_beam:
+            B = n_batch // G
+            state["fin_tokens"] = jnp.full((B, C, max_len + 1), eot, jnp.int32)
+            state["fin_scores"] = jnp.full((B, C), NEG_INF, jnp.float32)
+            state["fin_count"] = jnp.zeros((B,), jnp.int32)
+
+        def cond(state):
+            return (~state["completed"]) & (state["cur_len"] < max_len)
+
+        def greedy_body(state):
+            logits = _apply_filters(
+                cfg, state["last_logits"], state["tokens"], state["cur_len"]
+            )
+            rng, sub = jax.random.split(state["rng"])
+            if temperature == 0:
+                next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                next_tokens = jax.random.categorical(
+                    sub, logits / temperature, axis=-1
+                ).astype(jnp.int32)
+            logprobs = jax.nn.log_softmax(logits, axis=-1)
+            current = jnp.take_along_axis(
+                logprobs, next_tokens[:, None], axis=1
+            )[:, 0]
+            sum_logprobs = state["sum_logprobs"] + current * (
+                ~state["finished"]
+            )
+            next_tokens = jnp.where(state["finished"], eot, next_tokens)
+            tokens = jax.lax.dynamic_update_slice(
+                state["tokens"], next_tokens[:, None], (0, state["cur_len"])
+            )
+            finished = state["finished"] | (next_tokens == eot)
+            cur_len = state["cur_len"] + 1
+
+            new_logits, cache = decoder_apply(
+                params,
+                dims,
+                jax.lax.dynamic_slice(
+                    tokens, (0, cur_len - 1), (n_batch, 1)
+                ),
+                cache=state["cache"],
+                offset=cur_len - 1,
+                dtype=dtype,
+            )
+            return dict(
+                state,
+                tokens=tokens,
+                cur_len=cur_len,
+                sum_logprobs=sum_logprobs,
+                finished=finished,
+                cache=cache,
+                last_logits=new_logits[:, -1].astype(jnp.float32),
+                rng=rng,
+                completed=jnp.all(finished),
+            )
+
+        def beam_body(state):
+            B = n_batch // G
+            K = G + 1
+            N = G * K
+            logits = _apply_filters(
+                cfg, state["last_logits"], state["tokens"], state["cur_len"]
+            )
+            logprobs = jax.nn.log_softmax(logits, axis=-1)  # (B*G, V)
+            top_vals, top_idx = jax.lax.top_k(logprobs, K)  # (B*G, K)
+            cand_scores = (state["sum_logprobs"][:, None] + top_vals).reshape(B, N)
+            cand_tokens = top_idx.reshape(B, N)
+
+            sort_idx = jnp.argsort(-cand_scores, axis=1)  # (B, N) desc
+            s_scores = jnp.take_along_axis(cand_scores, sort_idx, axis=1)
+            s_tokens = jnp.take_along_axis(cand_tokens, sort_idx, axis=1)
+            s_is_eot = s_tokens == eot
+            # exclusive running count of non-EOT candidates seen so far
+            nonterm_rank = jnp.cumsum(~s_is_eot, axis=1) - (~s_is_eot)
+
+            # -- select the top G unfinished continuations --
+            order_key = jnp.where(
+                s_is_eot,
+                N + jax.lax.broadcasted_iota(jnp.int32, (B, N), 1),
+                nonterm_rank,
+            )
+            beam_pos = jnp.argsort(order_key, axis=1)[:, :G]  # sorted positions
+            sel_sorted = beam_pos  # positions into the sorted axis
+            sel_flat = jnp.take_along_axis(sort_idx, sel_sorted, axis=1)  # (B, G)
+            sel_scores = jnp.take_along_axis(s_scores, sel_sorted, axis=1)
+            sel_token = jnp.take_along_axis(s_tokens, sel_sorted, axis=1)
+            src_beam = sel_flat // K  # (B, G), within-audio beam index
+            src_global = (
+                jax.lax.broadcasted_iota(jnp.int32, (B, G), 0) * G + src_beam
+            ).reshape(-1)
+
+            tokens = state["tokens"][src_global]
+            tokens = jax.lax.dynamic_update_slice(
+                tokens,
+                sel_token.reshape(-1, 1).astype(jnp.int32),
+                (0, state["cur_len"]),
+            )
+            sum_logprobs = sel_scores.reshape(-1)
+            cache = dict(
+                state["cache"],
+                k=state["cache"]["k"][:, src_global],
+                v=state["cache"]["v"][:, src_global],
+            )
+
+            # -- newly finished sequences -> fixed-capacity buffer --
+            eligible = s_is_eot & (nonterm_rank < G)
+            # candidate rows (with EOT written) in sorted order
+            elig_rank = jnp.cumsum(eligible, axis=1) - eligible  # exclusive
+            n_elig = jnp.sum(eligible, axis=1)  # (B,)
+            # compact eligible entries to the front, in score order
+            elig_key = jnp.where(
+                eligible,
+                elig_rank,
+                N + jax.lax.broadcasted_iota(jnp.int32, (B, N), 1),
+            )
+            elig_pos = jnp.argsort(elig_key, axis=1)  # (B, N)
+            elig_flat = jnp.take_along_axis(sort_idx, elig_pos, axis=1)
+            elig_scores = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (B, N), 1) < n_elig[:, None],
+                jnp.take_along_axis(s_scores, elig_pos, axis=1),
+                NEG_INF,
+            )
+            slot = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+            take_src = slot - state["fin_count"][:, None]
+            valid = (take_src >= 0) & (take_src < n_elig[:, None])
+            take_clip = jnp.clip(take_src, 0, N - 1)
+            new_scores = jnp.where(
+                valid,
+                jnp.take_along_axis(elig_scores, take_clip, axis=1),
+                state["fin_scores"],
+            )
+            src_flat_for_slot = jnp.take_along_axis(elig_flat, take_clip, axis=1)
+            src_beam_fin = src_flat_for_slot // K  # (B, C)
+            fin_rows = state["tokens"].reshape(B, G, -1)[
+                jax.lax.broadcasted_iota(jnp.int32, (B, C), 0), src_beam_fin
+            ]  # (B, C, L)
+            fin_rows = jax.lax.dynamic_update_slice(
+                fin_rows,
+                jnp.full((B, C, 1), eot, jnp.int32),
+                (0, 0, state["cur_len"]),
+            )
+            new_fin_tokens = jnp.where(
+                valid[:, :, None], fin_rows, state["fin_tokens"]
+            )
+            new_count = jnp.minimum(state["fin_count"] + n_elig, C)
+
+            cur_len = state["cur_len"] + 1
+            completed = jnp.all(new_count >= C)
+
+            new_logits, cache = decoder_apply(
+                params,
+                dims,
+                jax.lax.dynamic_slice(tokens, (0, cur_len - 1), (n_batch, 1)),
+                cache=cache,
+                offset=cur_len - 1,
+                dtype=dtype,
+            )
+            return dict(
+                state,
+                tokens=tokens,
+                cur_len=cur_len,
+                sum_logprobs=sum_logprobs,
+                cache=cache,
+                last_logits=new_logits[:, -1].astype(jnp.float32),
+                fin_tokens=new_fin_tokens,
+                fin_scores=new_scores,
+                fin_count=new_count,
+                completed=completed,
+            )
+
+        body = beam_body if use_beam else greedy_body
+        state = jax.lax.while_loop(cond, body, state)
+
+        out = {
+            "tokens": state["tokens"],
+            "sum_logprobs": state["sum_logprobs"],
+            "no_speech_probs": no_speech_probs,
+            "cur_len": state["cur_len"],
+        }
+        if use_beam:
+            out.update(
+                fin_tokens=state["fin_tokens"],
+                fin_scores=state["fin_scores"],
+                fin_count=state["fin_count"],
+            )
+        return out
+
+    return jax.jit(prefill_and_loop)
