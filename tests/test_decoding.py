@@ -43,9 +43,32 @@ def _ref_decode(ref, mel, **opts):
     import torch
 
     whisper = import_reference_whisper()
-    options = whisper.DecodingOptions(fp16=False, **opts)
-    with torch.no_grad():
-        return whisper.decode(ref, torch.from_numpy(mel), options)
+
+    # The fork's beam path is bit-rotted: tokens are repeated x n_group but
+    # audio features are not (decoding.py:743 vs :155-164, after the fork
+    # disabled the KV cache), so any beam_size > 1 crashes with a batch
+    # mismatch. Patch the inference to the upstream semantics (features
+    # repeated per beam) so the reference algorithm is runnable for parity.
+    orig = whisper.decoding.DecodingTask._get_audio_features
+
+    def patched(self, mel, x_v=None, test_a=False, test_v=False):
+        features, x_v = orig(self, mel, x_v, test_a, test_v)
+        return features.repeat_interleave(self.n_group, dim=0), x_v
+
+    orig_dl = whisper.decoding.DecodingTask._detect_language
+
+    def patched_dl(self, audio_features, tokens):
+        return orig_dl(self, audio_features[:: self.n_group], tokens)
+
+    whisper.decoding.DecodingTask._get_audio_features = patched
+    whisper.decoding.DecodingTask._detect_language = patched_dl
+    try:
+        options = whisper.DecodingOptions(fp16=False, **opts)
+        with torch.no_grad():
+            return whisper.decode(ref, torch.from_numpy(mel), options)
+    finally:
+        whisper.decoding.DecodingTask._get_audio_features = orig
+        whisper.decoding.DecodingTask._detect_language = orig_dl
 
 
 def _our_decode(ours, mel, **opts):
