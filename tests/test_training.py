@@ -1,0 +1,129 @@
+"""Training runtime: losses decrease, param-group freezing matches the
+reference's optimizer filters, KD step runs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_flamingo_tpu.models.dims import MODEL_DIMS, ModelDimensions
+from whisper_flamingo_tpu.models.whisper import ModelExtras, init_params
+from whisper_flamingo_tpu.training.optim import (
+    flamingo_trainable_mask,
+    no_decay_mask,
+    whisper_flamingo_optimizer,
+    whisper_optimizer,
+)
+from whisper_flamingo_tpu.training.steps import (
+    TrainState,
+    ce_loss,
+    make_ce_train_step,
+    make_eval_step,
+    make_kd_train_step,
+)
+
+TINY = ModelDimensions(
+    n_mels=80, n_audio_ctx=50, n_audio_state=64, n_audio_head=2,
+    n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_head=2,
+    n_text_state=64, n_text_layer=2,
+)
+
+
+def _batch(rng, b=2, t=8):
+    mel = rng.standard_normal((b, 80, 100)).astype(np.float32)
+    dec = rng.integers(0, 1000, size=(b, t)).astype(np.int32)
+    labels = np.roll(dec, -1, axis=1).astype(np.int32)
+    labels[:, -1] = 50257
+    labels[:, -2:] = np.where(labels[:, -2:] == 0, -100, labels[:, -2:])
+    return {"input_ids": mel, "dec_input_ids": dec, "labels": labels}
+
+
+def test_ce_loss_masking():
+    logits = jnp.zeros((1, 3, 10))
+    labels = jnp.array([[1, -100, 2]])
+    loss = ce_loss(logits, labels)
+    np.testing.assert_allclose(float(loss), np.log(10), rtol=1e-5)
+
+
+def test_ce_train_step_decreases_loss():
+    rng = np.random.default_rng(0)
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    tx, _ = whisper_optimizer(
+        params, 1e-3, warmup_steps=0, total_steps=100
+    )
+    step = make_ce_train_step(TINY, tx, dtype=jnp.float32, remat=False)
+    state = TrainState.create(params, tx)
+    batch = _batch(rng)
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 5
+
+
+def test_flamingo_step_only_updates_gated():
+    rng = np.random.default_rng(1)
+    extras = ModelExtras(add_gated_x_attn=1, num_langs=1, bert_dim=32)
+    params = init_params(jax.random.PRNGKey(0), TINY, extras)
+    tx, _ = whisper_flamingo_optimizer(params, 1e-3, total_steps=100)
+    step = make_ce_train_step(
+        TINY, tx, freeze_encoder=True, use_xt=True, dtype=jnp.float32,
+        remat=False, donate=False,
+    )
+    state = TrainState.create(params, tx)
+    batch = _batch(rng)
+    batch["xt"] = rng.standard_normal((1, 2, 5, 32)).astype(np.float32)
+    new_state, _ = step(state, batch)
+
+    mask = flamingo_trainable_mask(params)
+    flat_old = jax.tree_util.tree_leaves_with_path(params)
+    new_map = dict(jax.tree_util.tree_leaves_with_path(new_state.params))
+    mask_map = dict(jax.tree_util.tree_leaves_with_path(mask))
+    changed_frozen, changed_gated = [], 0
+    for path, old in flat_old:
+        new = new_map[tuple(path)] if isinstance(path, tuple) else new_map[path]
+        delta = float(jnp.abs(new - old).max())
+        if mask_map[path]:
+            changed_gated += delta > 0
+        elif delta > 0:
+            changed_frozen.append(jax.tree_util.keystr(path))
+    assert not changed_frozen, f"frozen params changed: {changed_frozen[:5]}"
+    assert changed_gated > 0
+
+
+def test_no_decay_mask_structure():
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    mask = no_decay_mask(params)
+    assert mask["encoder"]["ln_post"]["scale"] is False
+    assert mask["encoder"]["ln_post"]["bias"] is False
+    assert mask["encoder"]["conv1"]["b"] is False
+    assert mask["encoder"]["conv1"]["w"] is True
+    assert mask["decoder"]["token_embedding"] is True
+
+
+def test_kd_train_step_runs():
+    rng = np.random.default_rng(2)
+    extras = ModelExtras(add_gated_x_attn=1, num_langs=1, bert_dim=32)
+    teacher = init_params(jax.random.PRNGKey(0), TINY, extras)
+    student = init_params(jax.random.PRNGKey(1), TINY)
+    tx, _ = whisper_optimizer(student, 1e-4, total_steps=100)
+    step = make_kd_train_step(
+        TINY, tx, alpha=0.8, beta=1.0, temperature=2.0,
+        dtype=jnp.float32, remat=False,
+    )
+    state = TrainState.create(student, tx)
+    batch = _batch(rng)
+    batch["xt"] = rng.standard_normal((1, 2, 5, 32)).astype(np.float32)
+    state, metrics = step(state, teacher, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["kd"]) >= 0
+
+
+def test_eval_step():
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    step = make_eval_step(TINY)
+    batch = _batch(np.random.default_rng(3))
+    loss, preds = step(params, batch)
+    assert preds.shape == batch["dec_input_ids"].shape
+    assert np.isfinite(float(loss))

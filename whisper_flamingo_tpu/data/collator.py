@@ -1,0 +1,96 @@
+"""ONE configurable collator for every training family.
+
+The reference grew 10+ copy-pasted collator classes
+(`/root/reference/utils.py:68-454` — audio, taigi, kloka, prompt, distil
+teacher/student, bert, TransASR variants), several of which are referenced
+by scripts but no longer exist (bit-rot list in SURVEY.md §2.3). This
+rebuild provides a single :class:`WhisperCollator` whose optional fields
+cover the union:
+
+- mels padded to batch max along time (constant 0) — reference
+  `utils.py:84-86`;
+- ``labels`` padded with −100 (CE ignore index), ``dec_input_ids`` padded
+  with EOT=50257 — same line;
+- optional passthrough of ``wav_lens``, ``audio_frames``, ``prompt_lens``,
+  string ``translations`` / ``all_translations``;
+- optional asymmetric teacher/student token streams (prompt distillation,
+  `utils.py:259-303`).
+
+TPU-first addition: ``pad_multiple_frames`` / ``pad_multiple_tokens``
+quantize padded shapes to a small set so XLA compiles a handful of
+programs instead of one per batch shape (SURVEY.md §7.1 bucketing note).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+EOT = 50257
+LABEL_PAD = -100
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple if multiple > 1 else n
+
+
+def _pad_tokens(seqs: List[List[int]], target: int, value: int) -> np.ndarray:
+    out = np.full((len(seqs), target), value, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        out[i, : len(s)] = np.asarray(s, dtype=np.int32)
+    return out
+
+
+@dataclass
+class WhisperCollator:
+    """Pad a list of feature dicts into fixed-shape numpy batches."""
+
+    pad_multiple_frames: int = 100  # mel-frame quantization (1 = batch max)
+    pad_multiple_tokens: int = 8  # token-length quantization
+    max_frames: Optional[int] = 3000
+    label_pad: int = LABEL_PAD
+    eot: int = EOT
+
+    def __call__(self, features: List[Dict[str, Any]]) -> Dict[str, Any]:
+        batch: Dict[str, Any] = {}
+
+        mels = [np.asarray(f["input_ids"]) for f in features]
+        max_frames = max(m.shape[-1] for m in mels)
+        max_frames = _round_up(max_frames, self.pad_multiple_frames)
+        if self.max_frames:
+            max_frames = min(max_frames, self.max_frames)
+        padded = np.zeros((len(mels), mels[0].shape[0], max_frames), np.float32)
+        for i, m in enumerate(mels):
+            t = min(m.shape[-1], max_frames)
+            padded[i, :, :t] = m[..., :t]
+        batch["input_ids"] = padded
+
+        token_streams = [
+            ("labels", self.label_pad),
+            ("dec_input_ids", self.eot),
+            ("teacher_labels", self.label_pad),
+            ("teacher_dec_input_ids", self.eot),
+        ]
+        # labels and dec_input_ids share one padded length (reference
+        # utils.py:80-86 pads both to max(labels+dec_input_ids))
+        for group in (("labels", "dec_input_ids"), ("teacher_labels", "teacher_dec_input_ids")):
+            present = [k for k in group if k in features[0]]
+            if not present:
+                continue
+            max_len = max(len(f[k]) for f in features for k in present)
+            max_len = _round_up(max_len, self.pad_multiple_tokens)
+            for k in present:
+                value = dict(token_streams)[k]
+                batch[k] = _pad_tokens([list(f[k]) for f in features], max_len, value)
+
+        for passthrough in ("wav_lens", "audio_frames", "prompt_lens"):
+            if passthrough in features[0]:
+                batch[passthrough] = np.asarray(
+                    [f[passthrough] for f in features], dtype=np.int32
+                )
+        for strkey in ("translations", "all_translations", "prompt", "ids", "text"):
+            if strkey in features[0]:
+                batch[strkey] = [f[strkey] for f in features]
+        return batch

@@ -1,0 +1,138 @@
+"""Optimizers and schedules (optax).
+
+Parity with reference `/root/reference/utils.py:474-517`:
+
+- :func:`whisper_optimizer` — AdamW with the no-decay split (biases and
+  LayerNorm scales get weight_decay=0, everything else — including the
+  positional embedding and the tanh gates, as in the reference's
+  name-substring filter — gets ``cfg.weight_decay``) and a linear
+  warmup -> linear decay schedule (transformers
+  ``get_linear_schedule_with_warmup``).
+- :func:`whisper_flamingo_optimizer` — trains ONLY the gated-x-attn
+  parameter group (torch name filter ``["gated_x_attn", "attn_gate",
+  "ff"]`` == everything under the decoder blocks' ``gated`` subtree);
+  all other parameters are frozen via ``optax.set_to_zero``. The
+  reference leaves ``xt_projection`` out of this filter (untrained when
+  bert_dim != n_state); pass ``train_xt_projection=True`` to include it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import optax
+
+
+def linear_warmup_schedule(lr: float, warmup_steps: int, total_steps: int):
+    """0 -> lr over warmup, then linearly to 0 at total_steps."""
+    warmup = optax.linear_schedule(0.0, lr, max(warmup_steps, 1))
+    decay = optax.linear_schedule(lr, 0.0, max(total_steps - warmup_steps, 1))
+    return optax.join_schedules([warmup, decay], [warmup_steps])
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def no_decay_mask(params) -> Any:
+    """True where weight decay applies (parity: utils.py:475 ``no_decay =
+    ["bias", "LayerNorm.weight"]`` — i.e. decay everywhere except biases
+    and LN parameters)."""
+
+    def decayable(path, leaf) -> bool:
+        p = _path_str(path)
+        leaf_name = p.rsplit("/", 1)[-1]
+        if leaf_name == "b" or leaf_name == "bias":
+            return False
+        if leaf_name == "scale":  # LayerNorm weight
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(decayable, params)
+
+
+def flamingo_trainable_mask(params, train_xt_projection: bool = False) -> Any:
+    """True for the gated-x-attn parameter group (utils.py:498-517)."""
+
+    def trainable(path, leaf) -> bool:
+        p = _path_str(path)
+        if "/gated/" in p or p.endswith("/gated"):
+            return True
+        if train_xt_projection and "xt_projection" in p:
+            return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(trainable, params)
+
+
+def encoder_frozen_mask(params) -> Any:
+    """True for everything except the encoder subtree (freeze_encoder)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: not _path_str(path).startswith("encoder"), params
+    )
+
+
+def _masked_freeze(tx: optax.GradientTransformation, trainable_mask) -> optax.GradientTransformation:
+    """Zero updates for frozen parameters."""
+    def label(params):
+        return jax.tree.map(
+            lambda t: "train" if t else "freeze", trainable_mask
+        )
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, label
+    )
+
+
+def whisper_optimizer(
+    params,
+    learning_rate: float,
+    *,
+    weight_decay: float = 0.01,
+    adam_epsilon: float = 1e-8,
+    warmup_steps: int = 0,
+    total_steps: int = 100_000,
+    trainable_mask=None,
+    max_grad_norm: float | None = 1.0,
+):
+    """AdamW + linear warmup/decay, with the reference's no-decay split.
+
+    ``trainable_mask`` optionally freezes subtrees (e.g. the encoder).
+    """
+    schedule = linear_warmup_schedule(learning_rate, warmup_steps, total_steps)
+    tx = optax.adamw(
+        schedule,
+        b1=0.9,
+        b2=0.999,
+        eps=adam_epsilon,
+        weight_decay=weight_decay,
+        mask=no_decay_mask(params),
+    )
+    if max_grad_norm:
+        tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    if trainable_mask is not None:
+        tx = _masked_freeze(tx, trainable_mask)
+    return tx, schedule
+
+
+def whisper_flamingo_optimizer(
+    params,
+    learning_rate: float,
+    *,
+    weight_decay: float = 0.01,
+    adam_epsilon: float = 1e-8,
+    warmup_steps: int = 0,
+    total_steps: int = 100_000,
+    train_xt_projection: bool = False,
+    max_grad_norm: float | None = 1.0,
+):
+    """Gated-x-attn-only AdamW (parity: utils.py:498-517 — single param
+    group, weight_decay applied uniformly there)."""
+    schedule = linear_warmup_schedule(learning_rate, warmup_steps, total_steps)
+    tx = optax.adamw(
+        schedule, b1=0.9, b2=0.999, eps=adam_epsilon, weight_decay=weight_decay
+    )
+    if max_grad_norm:
+        tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    mask = flamingo_trainable_mask(params, train_xt_projection)
+    return _masked_freeze(tx, mask), schedule
