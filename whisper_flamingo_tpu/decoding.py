@@ -45,6 +45,26 @@ if TYPE_CHECKING:
 NEG_INF = float("-inf")
 
 
+@lru_cache(maxsize=None)
+def _make_encode_program(dims, dtype):
+    """Cached jitted encoder forward (one XLA program per dims/dtype)."""
+    return jax.jit(
+        lambda params, mel: encoder_apply(params, dims, mel, dtype=dtype)
+    )
+
+
+@lru_cache(maxsize=None)
+def _make_lang_id_program(dims, dtype):
+    """Cached jitted single-token decoder forward for language ID."""
+
+    def fwd(params, features, sot_token):
+        x = jnp.full((features.shape[0], 1), sot_token, dtype=jnp.int32)
+        logits, _ = decoder_apply(params, dims, x, features, dtype=dtype)
+        return logits[:, 0]
+
+    return jax.jit(fwd, static_argnums=(2,))
+
+
 @dataclass(frozen=True)
 class DecodingOptions:
     """Parity: reference decoding.py:80-114 (same fields and defaults,
@@ -109,12 +129,12 @@ def detect_language(
         mel = mel[None]
 
     if mel.shape[-2:] != (model.dims.n_audio_ctx, model.dims.n_audio_state):
-        mel = encoder_apply(model.params, model.dims, mel, dtype=model.dtype)
+        mel = _make_encode_program(model.dims, model.dtype)(model.params, mel)
 
     n_audio = mel.shape[0]
-    x = jnp.full((n_audio, 1), tokenizer.sot, dtype=jnp.int32)
-    logits, _ = decoder_apply(model.params, model.dims, x, mel, dtype=model.dtype)
-    logits = logits[:, 0]
+    logits = _make_lang_id_program(model.dims, model.dtype)(
+        model.params, mel, tokenizer.sot
+    )
 
     mask = np.ones(logits.shape[-1], dtype=bool)
     mask[list(tokenizer.all_language_tokens)] = False
@@ -444,9 +464,9 @@ class DecodingTask:
         if mel.shape[-2:] == (self.model.dims.n_audio_ctx, self.model.dims.n_audio_state):
             audio_features = mel.astype(self.compute_dtype)
         else:
-            audio_features = encoder_apply(
-                self.model.params, self.model.dims, mel, dtype=self.compute_dtype
-            )
+            audio_features = _make_encode_program(
+                self.model.dims, self.compute_dtype
+            )(self.model.params, mel)
 
         init = np.tile(np.asarray(self.initial_tokens, np.int32), (n_audio, 1))
 
@@ -463,7 +483,7 @@ class DecodingTask:
         if self.options.task == "lang_id":
             return [
                 DecodingResult(
-                    audio_features=np.asarray(audio_features[i]),
+                    audio_features=audio_features[i],  # device array; convert lazily
                     language=languages[i],
                     language_probs=language_probs[i],
                 )
@@ -503,7 +523,7 @@ class DecodingTask:
 
         return [
             DecodingResult(
-                audio_features=np.asarray(audio_features[i]),
+                audio_features=audio_features[i],  # device array; convert lazily
                 language=languages[i],
                 tokens=final_tokens[i],
                 text=texts[i],
