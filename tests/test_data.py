@@ -1,0 +1,143 @@
+"""Data plane: collator, samplers, spec augment, noise mixing, dataset."""
+
+import numpy as np
+
+from whisper_flamingo_tpu.data.collator import WhisperCollator
+from whisper_flamingo_tpu.data.dataset import (
+    DataLoader,
+    SpeechDataset,
+    SyntheticAsrSource,
+)
+from whisper_flamingo_tpu.data.noise import add_noise
+from whisper_flamingo_tpu.data.samplers import (
+    DistributedBatchSampler,
+    LengthBatchSampler,
+    SortedBatchSampler,
+)
+from whisper_flamingo_tpu.ops.spec_augment import spec_augment_np
+from whisper_flamingo_tpu.tokenizer import get_tokenizer
+
+
+def test_collator_padding():
+    coll = WhisperCollator(pad_multiple_frames=100, pad_multiple_tokens=8)
+    feats = [
+        {
+            "input_ids": np.zeros((80, 150), np.float32),
+            "labels": [1, 2, 3],
+            "dec_input_ids": [9, 1, 2],
+            "wav_lens": 24000,
+        },
+        {
+            "input_ids": np.ones((80, 310), np.float32),
+            "labels": [4, 5, 6, 7, 8],
+            "dec_input_ids": [9, 4, 5, 6, 7],
+            "wav_lens": 49600,
+        },
+    ]
+    batch = coll(feats)
+    assert batch["input_ids"].shape == (2, 80, 400)  # rounded to 100
+    assert batch["labels"].shape == (2, 8)  # rounded to 8
+    assert batch["labels"][0, 3] == -100
+    assert batch["dec_input_ids"][0, 3] == 50257
+    assert batch["wav_lens"].tolist() == [24000, 49600]
+
+
+def test_sorted_batch_sampler():
+    shapes = [5, 1, 9, 3, 7, 2, 8, 4]
+    s = SortedBatchSampler(batch_size=3, shapes=shapes)
+    batches = list(s)
+    flat = [i for b in batches for i in b]
+    assert sorted(flat) == list(range(8))
+    # descending within batch
+    for b in batches:
+        lens = [shapes[i] for i in b]
+        assert lens == sorted(lens, reverse=True)
+
+
+def test_length_batch_sampler_bins():
+    shapes = [10, 20, 30, 40, 100, 200]
+    s = LengthBatchSampler(batch_bins=120, shapes=shapes)
+    batches = list(s)
+    flat = sorted(i for b in batches for i in b)
+    assert flat == list(range(6))
+    # ESPnet semantics: the batch closes on (and includes) the item that
+    # overflows the bin; all-but-last items of a batch stay within bins
+    for b in batches:
+        if len(b) > 1:
+            prefix = b[1:]  # descending order -> all but the largest
+            assert (len(b) - 1) * max(shapes[i] for i in prefix) <= 120
+    # batches group short utterances together
+    assert any(len(b) >= 2 for b in batches)
+
+
+def test_distributed_batch_sampler():
+    base = SortedBatchSampler(batch_size=2, shapes=list(range(16)))
+    a = list(DistributedBatchSampler(base, 2, 0))
+    b = list(DistributedBatchSampler(base, 2, 1))
+    assert len(a) == len(b)
+    assert not set(map(tuple, a)) & set(map(tuple, b))
+
+
+def test_spec_augment_respects_audio_frames():
+    rng = np.random.default_rng(0)
+    x = np.ones((300, 80), np.float32)
+    out = spec_augment_np(x, audio_frames=100, rng=rng)
+    # time masks start within [0, audio_frames) and extend at most
+    # max_time_width (reference draws the mask end independently), so
+    # rows beyond audio_frames + max_time_width are never touched
+    assert (out[200:] == 1).all()
+    assert out.shape == x.shape
+    assert (out != 1).any()  # something was masked
+
+
+def test_add_noise_snr():
+    rng = np.random.default_rng(0)
+    clean = (rng.standard_normal(16000) * 1000).astype(np.float32)
+    noise = (rng.standard_normal(8000) * 500).astype(np.float32)
+    mixed = add_noise(clean, [noise], noise_snr=0, rng=rng)
+    assert mixed.dtype == np.int16
+    assert len(mixed) == len(clean)
+    resid = mixed.astype(np.float32) - clean
+    snr = 10 * np.log10(np.mean(clean**2) / np.mean(resid**2))
+    assert abs(snr) < 1.0  # requested 0 dB
+
+
+def test_speech_dataset_and_loader():
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    src = SyntheticAsrSource(n=6, n_translations=2)
+    ds = SpeechDataset(
+        source=src, tokenizer=tok, spec_augment="ls-basic",
+        translations_use=True,
+    )
+    item = ds[0]
+    assert item["input_ids"].shape[0] == 80
+    assert item["dec_input_ids"][: 4] == list(
+        tok.sot_sequence_including_notimestamps
+    )
+    assert item["labels"][:3] == item["dec_input_ids"][1:4]
+    assert item["labels"][-1] == tok.eot
+    assert len(item["all_translations"]) == 2
+
+    sampler = SortedBatchSampler(batch_size=3, shapes=ds.mel_lengths())
+    loader = DataLoader(ds, sampler, WhisperCollator())
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["input_ids"].shape[0] == 3
+    assert "all_translations" in batches[0]
+
+
+def test_prompt_dataset():
+    tok = get_tokenizer(True, language="en", task="transcribe")
+
+    class PromptSource(SyntheticAsrSource):
+        def __getitem__(self, idx):
+            ex = super().__getitem__(idx)
+            ex.prompt = "some translation prompt"
+            return ex
+
+    ds = SpeechDataset(source=PromptSource(n=2), tokenizer=tok, prompt_use=True)
+    item = ds[0]
+    assert item["dec_input_ids"][0] == tok.sot_prev
+    n_prefix = item["prompt_lens"]
+    assert all(l == -100 for l in item["labels"][:n_prefix])
+    assert item["labels"][n_prefix : n_prefix + 3] == item["dec_input_ids"][n_prefix + 1 : n_prefix + 4]

@@ -1,0 +1,257 @@
+"""Datasets and the example-preparation pipeline.
+
+The reference defines a bespoke Dataset class in every experiment script;
+all of them share one ``__getitem__`` recipe
+(`/root/reference/whisper_ft_librispeech.py:58-102`):
+
+    normalize text -> (prob.) noise-mix -> pad_or_trim -> log-mel ->
+    SpecAugment -> dec_input_ids = sot_sequence(+notimestamps) + tokens,
+    labels = shifted + EOT, prompt/translation attachments per family.
+
+Here that recipe is one :class:`SpeechDataset` over an abstract
+:class:`AsrSource` (audio, text, optional translations/prompt), with
+sources for synthetic data (tests/bench), manifest TSV/CSV files, and HF
+datasets (librispeech_asr, google/fleurs, formospeech/* — gated on
+availability since this build environment has no network).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..audio import N_SAMPLES, log_mel_spectrogram, pad_or_trim
+from ..ops.spec_augment import PRESETS, spec_augment_np
+from ..tokenizer import Tokenizer, get_tokenizer
+from .noise import add_noise
+
+
+@dataclass
+class AsrExample:
+    audio: np.ndarray  # float32 waveform @16 kHz
+    text: str
+    id: str = ""
+    translations: List[str] = field(default_factory=list)
+    prompt: str = ""
+
+
+class AsrSource:
+    """Abstract example source."""
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def __getitem__(self, idx: int) -> AsrExample:
+        raise NotImplementedError
+
+    def lengths(self) -> List[int]:
+        """Per-utterance audio lengths in samples (for length bucketing)."""
+        return [len(self[i].audio) for i in range(len(self))]
+
+
+class SyntheticAsrSource(AsrSource):
+    """Deterministic random utterances (tests, benchmarks, smoke train)."""
+
+    def __init__(
+        self,
+        n: int = 32,
+        seed: int = 0,
+        min_sec: float = 1.0,
+        max_sec: float = 8.0,
+        vocab: Sequence[str] = ("hello", "world", "speech", "model", "test"),
+        n_translations: int = 0,
+    ):
+        self.n = n
+        self.seed = seed
+        self.min_sec = min_sec
+        self.max_sec = max_sec
+        self.vocab = list(vocab)
+        self.n_translations = n_translations
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, idx: int) -> AsrExample:
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        dur = rng.uniform(self.min_sec, self.max_sec)
+        audio = rng.standard_normal(int(dur * 16000)).astype(np.float32) * 0.05
+        words = rng.choice(self.vocab, size=rng.integers(2, 8))
+        text = " ".join(words)
+        return AsrExample(
+            audio=audio,
+            text=text,
+            id=f"synthetic-{idx}",
+            translations=[f"trans{k} {text}" for k in range(self.n_translations)],
+        )
+
+
+class ManifestAsrSource(AsrSource):
+    """TSV/CSV manifest: columns id, wav_path, text[, translation...]."""
+
+    def __init__(self, manifest_path: str, audio_root: str = ""):
+        self.rows: List[Dict[str, str]] = []
+        self.audio_root = audio_root
+        with open(manifest_path, newline="") as f:
+            delim = "\t" if manifest_path.endswith(".tsv") else ","
+            for row in csv.DictReader(f, delimiter=delim):
+                self.rows.append(row)
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def __getitem__(self, idx: int) -> AsrExample:
+        from ..audio import load_audio
+
+        row = self.rows[idx]
+        path = os.path.join(self.audio_root, row["wav_path"])
+        translations = [
+            v for k, v in sorted(row.items()) if k.startswith("translation") and v
+        ]
+        return AsrExample(
+            audio=load_audio(path),
+            text=row.get("text", ""),
+            id=row.get("id", str(idx)),
+            translations=translations,
+            prompt=row.get("prompt", ""),
+        )
+
+
+class HFAsrSource(AsrSource):
+    """HuggingFace datasets wrapper (librispeech_asr / google/fleurs /
+    formospeech/*; reference dataset table in SURVEY.md §2.2)."""
+
+    def __init__(
+        self,
+        name: str,
+        split: str,
+        config: Optional[str] = None,
+        text_key: str = "text",
+        audio_key: str = "audio",
+        **load_kwargs,
+    ):
+        import datasets  # lazy; needs local cache in offline environments
+
+        self.ds = datasets.load_dataset(name, config, split=split, **load_kwargs)
+        self.text_key = text_key
+        self.audio_key = audio_key
+
+    def __len__(self) -> int:
+        return len(self.ds)
+
+    def __getitem__(self, idx: int) -> AsrExample:
+        row = self.ds[int(idx)]
+        audio = row[self.audio_key]
+        wav = np.asarray(audio["array"], dtype=np.float32)
+        if audio.get("sampling_rate", 16000) != 16000:
+            from ..audio import resample_linear
+
+            wav = resample_linear(wav, audio["sampling_rate"], 16000)
+        return AsrExample(
+            audio=wav, text=row[self.text_key], id=str(row.get("id", idx))
+        )
+
+
+@dataclass
+class SpeechDataset:
+    """Applies the shared example-preparation recipe to an AsrSource."""
+
+    source: AsrSource
+    tokenizer: Tokenizer
+    audio_max_length: int = N_SAMPLES
+    pad_to_max: bool = False  # False: pad-to-batch-max via the collator
+    spec_augment: str = ""  # "", "ls-basic", "ls-double"
+    noise_prob: float = 0.0
+    noise_wavs: Sequence[Any] = ()
+    noise_snr: Any = 0
+    n_mels: int = 80
+    prompt_use: bool = False
+    max_prompt_len: int = 100  # reference whisper_prompt_librispeech.py:39
+    translations_use: bool = False
+    text_normalizer: Any = None
+    seed: int = 3407
+    training: bool = True
+
+    def __len__(self) -> int:
+        return len(self.source)
+
+    def mel_lengths(self) -> List[int]:
+        return [
+            min(l, self.audio_max_length) // 160 for l in self.source.lengths()
+        ]
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        ex = self.source[idx]
+        rng = np.random.default_rng(self.seed * 1000003 + idx)
+        text = ex.text
+        if self.text_normalizer is not None:
+            text = self.text_normalizer(text)
+
+        wav = ex.audio
+        if self.training and self.noise_prob > 0 and rng.random() < self.noise_prob and len(self.noise_wavs):
+            wav = add_noise(wav * 32768.0, self.noise_wavs, self.noise_snr, rng).astype(
+                np.float32
+            ) / 32768.0
+        wav = wav[: self.audio_max_length]
+        audio_frames = len(wav) // 160
+        if self.pad_to_max:
+            wav = pad_or_trim(wav, self.audio_max_length)
+
+        mel = np.asarray(log_mel_spectrogram(wav, self.n_mels))  # (n_mels, T)
+        if self.training and self.spec_augment:
+            preset = PRESETS[self.spec_augment]
+            mel = spec_augment_np(
+                mel.T, audio_frames, rng=rng, **preset
+            ).T.astype(np.float32)
+
+        # token streams (reference whisper_ft_librispeech.py:90-95)
+        sot_seq = list(self.tokenizer.sot_sequence_including_notimestamps)
+        text_tokens = self.tokenizer.encode(" " + text.strip() if text else "")
+        dec_input_ids = sot_seq + text_tokens
+        labels = dec_input_ids[1:] + [self.tokenizer.eot]
+
+        feat: Dict[str, Any] = {
+            "input_ids": mel,
+            "dec_input_ids": dec_input_ids,
+            "labels": labels,
+            "wav_lens": len(wav),
+            "audio_frames": audio_frames,
+            "ids": ex.id,
+            "text": text,
+        }
+
+        if self.prompt_use and ex.prompt:
+            # prompt splicing parity: whisper_prompt_librispeech.py:146-162
+            prompt_tokens = self.tokenizer.encode(" " + ex.prompt.strip())
+            prompt_tokens = prompt_tokens[-self.max_prompt_len:]
+            prefix = [self.tokenizer.sot_prev] + prompt_tokens
+            feat["dec_input_ids"] = prefix + dec_input_ids
+            feat["labels"] = [-100] * len(prefix) + labels
+            feat["prompt_lens"] = len(prefix)
+
+        if self.translations_use:
+            feat["all_translations"] = list(ex.translations)
+        return feat
+
+
+class DataLoader:
+    """Minimal batch iterator: batch sampler + dataset + collator."""
+
+    def __init__(self, dataset, batch_sampler, collator):
+        self.dataset = dataset
+        self.batch_sampler = batch_sampler
+        self.collator = collator
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.batch_sampler, "set_epoch"):
+            self.batch_sampler.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return len(self.batch_sampler)
+
+    def __iter__(self):
+        for batch_idx in self.batch_sampler:
+            yield self.collator([self.dataset[i] for i in batch_idx])

@@ -112,6 +112,11 @@ class LengthBatchSampler:
         if len(batch_sizes) == 0:
             batch_sizes = [len(keys)]
 
+        # redistribute a too-small trailing batch (reference :151-154)
+        if len(batch_sizes) > 1 and batch_sizes[-1] < min_batch_size:
+            for i in range(batch_sizes.pop(-1)):
+                batch_sizes[-(i % len(batch_sizes)) - 1] += 1
+
         self.batch_list = []
         start = 0
         for bs in batch_sizes:

@@ -1,0 +1,272 @@
+"""Training orchestration: loop, validation, checkpointing, resume.
+
+Replaces the reference's PyTorch-Lightning layer (SURVEY.md §1 L4,
+`whisper_ft_librispeech.py:104-213,336-391`) with a plain loop around the
+compiled train step:
+
+- validate-before-train smoke pass (parity with every reference script's
+  ``trainer.validate`` call before ``fit``);
+- periodic teacher-forced validation producing loss / token-accuracy /
+  WER / CER per split with normalized text (reference
+  `whisper_ft_librispeech.py:151-213`);
+- Orbax checkpointing: top-k on a monitored metric + ``last`` for resume
+  (reference ``ModelCheckpoint`` recipes, `utils.py:519-655`);
+- gradient accumulation via ``optax.MultiSteps``
+  (`accumulate_grad_batches` parity);
+- metrics to JSONL + stdout (wandb/tensorboard were the reference's
+  sinks; JSONL is the structured equivalent and wandb attaches if
+  importable and configured).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrainConfig
+from ..metrics import token_accuracy, wer_cer
+from ..models.dims import ModelDimensions
+from ..normalizers import BasicTextNormalizer
+from ..tokenizer import get_tokenizer
+from .steps import TrainState
+
+
+class MetricsLogger:
+    """JSONL + stdout metric sink (wandb attaches when available)."""
+
+    def __init__(self, log_dir: str, run_id: str, use_wandb: bool = False):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, f"{run_id}.metrics.jsonl")
+        self._fh = open(self.path, "a")
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                if wandb.run is not None:
+                    self._wandb = wandb
+            except ImportError:
+                pass
+
+    def log(self, step: int, metrics: Dict[str, Any]) -> None:
+        rec = {"step": int(step), "time": time.time(), **{
+            k: (float(v) if isinstance(v, (int, float, np.floating, jnp.ndarray, jax.Array)) else v)
+            for k, v in metrics.items()
+        }}
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
+
+    def close(self):
+        self._fh.close()
+
+
+class CheckpointManager:
+    """Orbax-backed top-k + last checkpointing (reference utils.py:519-655)."""
+
+    def __init__(
+        self,
+        directory: str,
+        monitor: str = "val/loss",
+        mode: str = "min",
+        save_top_k: int = 3,
+    ):
+        import orbax.checkpoint as ocp
+
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.save_top_k = save_top_k
+        self._ckptr = ocp.StandardCheckpointer()
+        self._scores: List[tuple] = []  # (score, path)
+
+    def _better(self, a: float, b: float) -> bool:
+        return a < b if self.mode == "min" else a > b
+
+    def save(self, state: TrainState, metrics: Dict[str, float], step: int) -> None:
+        score = float(metrics.get(self.monitor, np.nan))
+        path = os.path.join(self.directory, f"step-{step:08d}")
+        last = os.path.join(self.directory, "last")
+        self._ckptr.save(path, state.params, force=True)
+        self._ckptr.save(last, state.params, force=True)
+        with open(os.path.join(self.directory, "last.meta.json"), "w") as f:
+            json.dump({"step": step, "metrics": {k: float(v) for k, v in metrics.items()}}, f)
+        if not np.isnan(score):
+            self._scores.append((score, path))
+            self._scores.sort(key=lambda t: t[0], reverse=(self.mode == "max"))
+            while len(self._scores) > self.save_top_k:
+                _, worst = self._scores.pop()
+                import shutil
+
+                shutil.rmtree(worst, ignore_errors=True)
+
+    def restore_last(self, template) -> Optional[tuple]:
+        last = os.path.join(self.directory, "last")
+        meta = os.path.join(self.directory, "last.meta.json")
+        if not os.path.exists(last):
+            return None
+        params = self._ckptr.restore(last, template)
+        step = 0
+        if os.path.exists(meta):
+            with open(meta) as f:
+                step = json.load(f).get("step", 0)
+        return params, step
+
+
+@dataclass
+class Trainer:
+    """Drives a compiled train step over a data iterable."""
+
+    cfg: TrainConfig
+    dims: ModelDimensions
+    train_step: Callable  # (state, batch) -> (state, metrics)
+    eval_step: Callable  # (params, batch) -> (loss, pred_tokens)
+    prepare_batch: Optional[Callable] = None  # host hook (e.g. BERT xt)
+    logger: Optional[MetricsLogger] = None
+    checkpoints: Optional[CheckpointManager] = None
+    normalizer: Any = field(default_factory=lambda: BasicTextNormalizer(remove_diacritics=True))
+
+    def __post_init__(self):
+        if self.logger is None:
+            self.logger = MetricsLogger(self.cfg.log_output_dir, self.cfg.train_id)
+        if self.checkpoints is None:
+            self.checkpoints = CheckpointManager(
+                os.path.join(self.cfg.check_output_dir, self.cfg.train_id),
+                monitor=self.cfg.monitor,
+            )
+        self.tokenizer = get_tokenizer(
+            True, language=self.cfg.lang, task="transcribe"
+        )
+
+    # -- validation --------------------------------------------------------
+
+    def validate(
+        self, params, loaders: Dict[str, Iterable], max_batches: Optional[int] = None
+    ) -> Dict[str, float]:
+        """Teacher-forced eval over named splits; returns flat metrics.
+
+        Parity: reference validation_step/epoch
+        (`whisper_ft_librispeech.py:151-213`) — loss, post-EOT-masked
+        token accuracy, WER/CER over normalized text.
+        """
+        out: Dict[str, float] = {}
+        for split, loader in loaders.items():
+            losses, accs, hyps, refs = [], [], [], []
+            for i, batch in enumerate(loader):
+                if max_batches is not None and i >= max_batches:
+                    break
+                if self.prepare_batch is not None:
+                    batch = self.prepare_batch(batch)
+                loss, preds = self.eval_step(params, _device_batch(batch))
+                losses.append(float(loss))
+                labels = np.asarray(batch["labels"])
+                preds = np.asarray(preds)
+                accs.append(
+                    token_accuracy(preds, labels, eot=self.tokenizer.eot)
+                )
+                for row_pred, row_label in zip(preds, labels):
+                    mask = row_label != -100
+                    hyp_tokens = [
+                        int(t) for t in row_pred[mask] if t != self.tokenizer.eot
+                    ]
+                    ref_tokens = [
+                        int(t) for t in row_label[mask] if t != self.tokenizer.eot
+                    ]
+                    hyps.append(self.normalizer(self.tokenizer.decode(hyp_tokens)))
+                    refs.append(self.normalizer(self.tokenizer.decode(ref_tokens)))
+            if not losses:
+                continue
+            wer, cer = wer_cer(hyps, refs)
+            out[f"{split}/loss"] = float(np.mean(losses))
+            out[f"{split}/acc"] = float(np.mean(accs))
+            out[f"{split}/wer"] = wer
+            out[f"{split}/cer"] = cer
+        return out
+
+    # -- training loop -----------------------------------------------------
+
+    def fit(
+        self,
+        state: TrainState,
+        train_loader: Iterable,
+        val_loaders: Optional[Dict[str, Iterable]] = None,
+        max_steps: Optional[int] = None,
+        val_max_batches: Optional[int] = None,
+        log_every: int = 50,
+    ) -> TrainState:
+        cfg = self.cfg
+        max_steps = max_steps or cfg.num_train_steps
+        val_every = cfg.validate_every_n_batches
+
+        # validate-before-train smoke pass (reference :385-386)
+        if val_loaders:
+            metrics = self.validate(state.params, val_loaders, val_max_batches)
+            self.logger.log(int(state.step), {"phase": "preval", **metrics})
+
+        t0 = time.time()
+        window_tokens = 0
+        it = iter(_cycle(train_loader))
+        while int(state.step) < max_steps:
+            batch = next(it)
+            if self.prepare_batch is not None:
+                batch = self.prepare_batch(batch)
+            window_tokens += int(np.prod(np.shape(batch["dec_input_ids"])))
+            state, metrics = self.train_step(state, _device_batch(batch))
+            step = int(state.step)
+            if step % log_every == 0:
+                dt = time.time() - t0
+                self.logger.log(
+                    step,
+                    {
+                        **{k: float(v) for k, v in metrics.items()},
+                        "tokens_per_sec": window_tokens / max(dt, 1e-9),
+                    },
+                )
+                t0, window_tokens = time.time(), 0
+            if val_loaders and val_every and step % val_every == 0:
+                vmetrics = self.validate(state.params, val_loaders, val_max_batches)
+                self.logger.log(step, vmetrics)
+                self.checkpoints.save(state, vmetrics, step)
+        return state
+
+    def maybe_resume(self, state: TrainState) -> TrainState:
+        """Resume from ``last`` if configured (reference :381-384)."""
+        if not self.cfg.resume_training:
+            return state
+        restored = self.checkpoints.restore_last(state.params)
+        if restored is None:
+            return state
+        params, step = restored
+        return TrainState(
+            params=params,
+            opt_state=state.opt_state,
+            step=jnp.asarray(step, jnp.int32),
+        )
+
+
+def _device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop host-only fields (strings) before feeding the compiled step."""
+    return {
+        k: v
+        for k, v in batch.items()
+        if not isinstance(v, (list, tuple, str))
+    }
+
+
+def _cycle(loader: Iterable):
+    epoch = 0
+    while True:
+        if hasattr(loader, "set_epoch"):
+            loader.set_epoch(epoch)
+        for item in loader:
+            yield item
+        epoch += 1
