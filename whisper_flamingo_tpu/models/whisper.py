@@ -110,7 +110,8 @@ def attention_block(
     k_override: Optional[jax.Array] = None,
     v_override: Optional[jax.Array] = None,
     backend: str = "xla",
-) -> jax.Array:
+    return_qk: bool = False,
+):
     """Projected MHA. ``kv_src`` selects cross-attention; ``k/v_override``
     inject precomputed (cached) keys/values."""
     q = linear(p["q"], x)
@@ -120,6 +121,11 @@ def attention_block(
         src = x if kv_src is None else kv_src
         k = linear(p["k"], src)
         v = linear(p["v"], src)
+    if return_qk:
+        out, qk = qkv_attention(
+            q, k, v, n_head, mask=mask, backend=backend, return_qk=True
+        )
+        return linear(p["out"], out), qk
     out = qkv_attention(q, k, v, n_head, mask=mask, backend=backend)
     return linear(p["out"], out)
 
@@ -284,6 +290,7 @@ def decoder_apply(
     dtype=jnp.float32,
     backend: str = "xla",
     remat: bool = False,
+    return_cross_qk: bool = False,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     """tokens (B, T) [+ audio features (B, Ta, D)] -> logits (B, T, V).
 
@@ -292,6 +299,12 @@ def decoder_apply(
     With ``cache``: decode path; the current chunk's self K/V are written
     at ``offset`` and attention runs over the preallocated cache, using
     the precomputed audio / conditioning K/V.
+
+    With ``return_cross_qk`` (no-cache path only) the second element of
+    the return tuple is the stacked fp32 audio cross-attention scores
+    (L, B, H, T, Ta) instead of a cache — the TPU-native equivalent of
+    the reference's forward hooks for DTW word timing
+    (reference timing.py:185-210).
 
     Parity: reference model.py:292-340.
     """
@@ -323,17 +336,22 @@ def decoder_apply(
                 bp["attn"], layer_norm(bp["attn_ln"], x), n_head, mask=mask,
                 backend=backend,
             )
-            x = x + attention_block(
+            cross = attention_block(
                 bp["cross_attn"], layer_norm(bp["cross_attn_ln"], x), n_head,
-                kv_src=xa, backend=backend,
+                kv_src=xa, backend=backend, return_qk=return_cross_qk,
             )
+            if return_cross_qk:
+                cross_out, qk = cross
+            else:
+                cross_out, qk = cross, None
+            x = x + cross_out
             x = x + mlp_block(bp["mlp"], layer_norm(bp["mlp_ln"], x))
-            return x, None
+            return x, qk
 
         if remat:
             block_fn = jax.checkpoint(block_fn)
-        x, _ = jax.lax.scan(block_fn, x, dec["blocks"])
-        new_cache = None
+        x, qks = jax.lax.scan(block_fn, x, dec["blocks"])
+        new_cache = qks if return_cross_qk else None
     else:
         cache_len = cache["k"].shape[2]
         mask = cached_causal_mask(T, cache_len, offset)
@@ -535,6 +553,17 @@ class Whisper:
     params: Params
     extras: ModelExtras = field(default_factory=ModelExtras)
     dtype: Any = jnp.float32
+    # (n_text_layer, n_text_head) bool mask of cross-attn heads used for
+    # DTW word alignment; default = all heads of the second half of the
+    # decoder layers (upstream whisper default)
+    alignment_heads: Optional[np.ndarray] = None
+
+    def get_alignment_heads(self) -> np.ndarray:
+        if self.alignment_heads is not None:
+            return np.asarray(self.alignment_heads, dtype=bool)
+        heads = np.zeros((self.dims.n_text_layer, self.dims.n_text_head), bool)
+        heads[self.dims.n_text_layer // 2:] = True
+        return heads
 
     @property
     def is_multilingual(self) -> bool:

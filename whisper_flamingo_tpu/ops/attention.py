@@ -46,11 +46,15 @@ def qkv_attention(
     n_head: int,
     mask: Optional[jax.Array] = None,
     backend: str = "xla",
-) -> jax.Array:
+    return_qk: bool = False,
+):
     """Scaled dot-product attention over projected q/k/v of shape (B, T, D).
 
     ``mask`` is an additive float mask broadcastable to (B, H, Tq, Tk)
-    (or (Tq, Tk)). Returns (B, Tq, D).
+    (or (Tq, Tk)). Returns (B, Tq, D); with ``return_qk`` also the fp32
+    pre-softmax scaled scores (B, H, Tq, Tk) — the quantity the
+    reference's forward hooks capture for DTW word alignment
+    (reference model.py:102-108, timing.py:185-210).
     """
     d_head = q.shape[-1] // n_head
     scale = d_head**-0.25
@@ -58,7 +62,7 @@ def qkv_attention(
     kh = split_heads(k, n_head) * scale
     vh = split_heads(v, n_head)
 
-    if backend == "flash" and mask is None and qh.shape[2] >= 1024:
+    if backend == "flash" and mask is None and not return_qk and qh.shape[2] >= 1024:
         out = _flash_attention(qh, kh, vh)
         if out is not None:
             return merge_heads(out.astype(q.dtype))
@@ -68,9 +72,12 @@ def qkv_attention(
     )
     if mask is not None:
         logits = logits + mask
-    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh)
-    return merge_heads(out)
+    logits = logits.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = merge_heads(jnp.einsum("bhqk,bhkd->bhqd", weights, vh))
+    if return_qk:
+        return out, logits
+    return out
 
 
 def _flash_attention(qh, kh, vh):

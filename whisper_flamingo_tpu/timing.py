@@ -1,0 +1,272 @@
+"""Word-level timestamp alignment via cross-attention DTW.
+
+Rebuild of reference `/root/reference/whisper/timing.py:154-385`:
+
+- :func:`find_alignment`: one teacher-forced forward that *returns* the
+  per-layer cross-attention scores (no forward hooks — the functional
+  model exposes them, `models/whisper.py decoder_apply(return_cross_qk)`),
+  head-filtered by the model's alignment heads, softmaxed, z-normalized
+  over the token axis, median-filtered, then DTW'd (`ops/dtw.py`
+  wavefront) into word boundaries;
+- :func:`merge_punctuations` and :func:`add_word_timestamps` with the
+  reference's sentence/segment boundary duration hacks intact.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import TYPE_CHECKING, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio import HOP_LENGTH, SAMPLE_RATE, TOKENS_PER_SECOND
+from .models.whisper import decoder_apply, encoder_apply
+from .ops.dtw import dtw
+from .ops.median import median_filter
+from .tokenizer import Tokenizer
+
+if TYPE_CHECKING:
+    from .models.whisper import Whisper
+
+
+@dataclass
+class WordTiming:
+    word: str
+    tokens: List[int]
+    start: float
+    end: float
+    probability: float
+
+
+@lru_cache(maxsize=None)
+def _alignment_program(dims, dtype):
+    """Jitted forward returning (logits, stacked cross-attn scores)."""
+
+    def fwd(params, mel, tokens):
+        feats = encoder_apply(params, dims, mel, dtype=dtype)
+        logits, qks = decoder_apply(
+            params, dims, tokens, feats, dtype=dtype, return_cross_qk=True
+        )
+        return logits, qks  # qks: (L, B, H, T, Ta)
+
+    return jax.jit(fwd)
+
+
+def find_alignment(
+    model: "Whisper",
+    tokenizer: Tokenizer,
+    text_tokens: List[int],
+    mel,
+    num_frames: int,
+    *,
+    medfilt_width: int = 7,
+    qk_scale: float = 1.0,
+) -> List[WordTiming]:
+    """Parity: reference timing.py:163-240."""
+    if len(text_tokens) == 0:
+        return []
+
+    tokens = np.array(
+        [
+            *tokenizer.sot_sequence,
+            tokenizer.no_timestamps,
+            *text_tokens,
+            tokenizer.eot,
+        ],
+        dtype=np.int32,
+    )
+
+    mel = jnp.asarray(mel)
+    if mel.ndim == 2:
+        mel = mel[None]
+    logits, qks = _alignment_program(model.dims, model.dtype)(
+        model.params, mel, jnp.asarray(tokens[None])
+    )
+
+    sampled_logits = np.asarray(
+        logits[0, len(tokenizer.sot_sequence):, : tokenizer.eot], np.float32
+    )
+    token_probs = _softmax(sampled_logits)
+    text_token_probs = token_probs[
+        np.arange(len(text_tokens)), np.asarray(text_tokens)
+    ].tolist()
+
+    heads = np.argwhere(model.get_alignment_heads())  # (n_sel, 2) [layer, head]
+    weights = jnp.stack([qks[l, 0, h] for l, h in heads])  # (n_sel, T, Ta)
+    weights = weights[:, :, : num_frames // 2]
+    weights = jax.nn.softmax(weights * qk_scale, axis=-1)
+    mean = jnp.mean(weights, axis=-2, keepdims=True)
+    std = jnp.std(weights, axis=-2, keepdims=True)  # biased, parity w/ unbiased=False
+    weights = (weights - mean) / std
+    weights = median_filter(weights, medfilt_width)
+
+    matrix = np.asarray(jnp.mean(weights, axis=0))
+    matrix = matrix[len(tokenizer.sot_sequence): -1]
+    text_indices, time_indices = dtw(-matrix)
+
+    words, word_tokens = tokenizer.split_to_word_tokens(
+        list(text_tokens) + [tokenizer.eot]
+    )
+    if len(word_tokens) <= 1:
+        return []
+    word_boundaries = np.pad(np.cumsum([len(t) for t in word_tokens[:-1]]), (1, 0))
+
+    jumps = np.pad(np.diff(text_indices), (1, 0), constant_values=1).astype(bool)
+    jump_times = time_indices[jumps] / TOKENS_PER_SECOND
+    start_times = jump_times[word_boundaries[:-1]]
+    end_times = jump_times[word_boundaries[1:]]
+    word_probabilities = [
+        np.mean(text_token_probs[i:j])
+        for i, j in zip(word_boundaries[:-1], word_boundaries[1:])
+    ]
+
+    return [
+        WordTiming(word, tokens_, float(start), float(end), float(probability))
+        for word, tokens_, start, end, probability in zip(
+            words, word_tokens, start_times, end_times, word_probabilities
+        )
+    ]
+
+
+def _softmax(x: np.ndarray) -> np.ndarray:
+    e = np.exp(x - x.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def merge_punctuations(alignment: List[WordTiming], prepended: str, appended: str):
+    """Parity: reference timing.py:243-274."""
+    # merge prepended punctuations
+    i = len(alignment) - 2
+    j = len(alignment) - 1
+    while i >= 0:
+        previous = alignment[i]
+        following = alignment[j]
+        if previous.word.startswith(" ") and previous.word.strip() in prepended:
+            following.word = previous.word + following.word
+            following.tokens = previous.tokens + following.tokens
+            previous.word = ""
+            previous.tokens = []
+        else:
+            j = i
+        i -= 1
+
+    # merge appended punctuations
+    i = 0
+    j = 1
+    while j < len(alignment):
+        previous = alignment[i]
+        following = alignment[j]
+        if not previous.word.endswith(" ") and following.word in appended:
+            previous.word = previous.word + following.word
+            previous.tokens = previous.tokens + following.tokens
+            following.word = ""
+            following.tokens = []
+        else:
+            i = j
+        j += 1
+
+
+def add_word_timestamps(
+    *,
+    segments: List[dict],
+    model: "Whisper",
+    tokenizer: Tokenizer,
+    mel,
+    num_frames: int,
+    prepend_punctuations: str = "\"'“¿([{-",
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+    last_speech_timestamp: float,
+    **kwargs,
+):
+    """Parity: reference timing.py:277-385 (including the median-duration
+    truncation hacks at sentence and segment boundaries)."""
+    if len(segments) == 0:
+        return
+
+    text_tokens_per_segment = [
+        [token for token in segment["tokens"] if token < tokenizer.eot]
+        for segment in segments
+    ]
+
+    text_tokens = list(itertools.chain.from_iterable(text_tokens_per_segment))
+    alignment = find_alignment(model, tokenizer, text_tokens, mel, num_frames, **kwargs)
+    word_durations = np.array([t.end - t.start for t in alignment])
+    word_durations = word_durations[word_durations.nonzero()]
+    median_duration = np.median(word_durations) if len(word_durations) > 0 else 0.0
+    max_duration = median_duration * 2
+
+    # truncate long words at sentence boundaries
+    if len(word_durations) > 0:
+        sentence_end_marks = ".。!！?？"
+        for i in range(1, len(alignment)):
+            if alignment[i].end - alignment[i].start > max_duration:
+                if alignment[i].word in sentence_end_marks:
+                    alignment[i].end = alignment[i].start + max_duration
+                elif alignment[i - 1].word in sentence_end_marks:
+                    alignment[i].start = alignment[i].end - max_duration
+
+    merge_punctuations(alignment, prepend_punctuations, append_punctuations)
+
+    time_offset = segments[0]["seek"] * HOP_LENGTH / SAMPLE_RATE
+    word_index = 0
+
+    for segment, seg_text_tokens in zip(segments, text_tokens_per_segment):
+        saved_tokens = 0
+        words = []
+
+        while word_index < len(alignment) and saved_tokens < len(seg_text_tokens):
+            timing = alignment[word_index]
+            if timing.word:
+                words.append(
+                    dict(
+                        word=timing.word,
+                        start=round(time_offset + timing.start, 2),
+                        end=round(time_offset + timing.end, 2),
+                        probability=timing.probability,
+                    )
+                )
+            saved_tokens += len(timing.tokens)
+            word_index += 1
+
+        # truncate long words at segment boundaries
+        if len(words) > 0:
+            if words[0]["end"] - last_speech_timestamp > median_duration * 4 and (
+                words[0]["end"] - words[0]["start"] > max_duration
+                or (
+                    len(words) > 1
+                    and words[1]["end"] - words[0]["start"] > max_duration * 2
+                )
+            ):
+                if len(words) > 1 and words[1]["end"] - words[1]["start"] > max_duration:
+                    boundary = max(words[1]["end"] / 2, words[1]["end"] - max_duration)
+                    words[0]["end"] = words[1]["start"] = boundary
+                words[0]["start"] = max(0, words[0]["end"] - max_duration)
+
+            # prefer the segment-level start/end when words run long
+            if (
+                segment["start"] < words[0]["end"]
+                and segment["start"] - 0.5 > words[0]["start"]
+            ):
+                words[0]["start"] = max(
+                    0, min(words[0]["end"] - median_duration, segment["start"])
+                )
+            else:
+                segment["start"] = words[0]["start"]
+
+            if (
+                segment["end"] > words[-1]["start"]
+                and segment["end"] + 0.5 < words[-1]["end"]
+            ):
+                words[-1]["end"] = max(
+                    words[-1]["start"] + median_duration, segment["end"]
+                )
+            else:
+                segment["end"] = words[-1]["end"]
+
+            last_speech_timestamp = segment["end"]
+
+        segment["words"] = words
