@@ -68,15 +68,30 @@ def load_model(
     )
 
     ckpt_path = None
+    alignment_heads = None
     if os.path.isfile(name):
         ckpt_path = name
         dims = None
     elif name in MODEL_DIMS:
+        from .registry import alignment_heads_for, download_checkpoint
+
         dims = MODEL_DIMS[name]
-        if download_root:
-            candidate = os.path.join(download_root, f"{name}.pt")
-            if os.path.isfile(candidate):
-                ckpt_path = candidate
+        alignment_heads = alignment_heads_for(
+            name, dims.n_text_layer, dims.n_text_head
+        )
+        candidate = os.path.join(download_root or "", f"{name}.pt")
+        if download_root and os.path.isfile(candidate):
+            ckpt_path = candidate
+        elif name != "debug":
+            try:
+                ckpt_path = download_checkpoint(name, download_root)
+            except Exception as e:  # offline: fall back to random init
+                import warnings
+
+                warnings.warn(
+                    f"could not fetch pretrained weights for {name!r} ({e}); "
+                    "using random initialization"
+                )
     else:
         raise RuntimeError(
             f"Model {name} not found; available models = {available_models}"
@@ -87,7 +102,13 @@ def load_model(
     else:
         params = init_params(jax.random.PRNGKey(seed), dims, extras)
 
-    return Whisper(dims=dims, params=params, extras=extras, dtype=dtype or jnp.float32)
+    return Whisper(
+        dims=dims,
+        params=params,
+        extras=extras,
+        dtype=dtype or jnp.float32,
+        alignment_heads=alignment_heads,
+    )
 
 
 # bind inference entry points onto the model handle (parity: model.py:427-429)

@@ -558,6 +558,14 @@ class Whisper:
     # decoder layers (upstream whisper default)
     alignment_heads: Optional[np.ndarray] = None
 
+    def set_alignment_heads(self, dump: bytes) -> None:
+        """Install a base85-gzip alignment-head bitmap (upstream format)."""
+        from ..registry import decode_alignment_heads
+
+        self.alignment_heads = decode_alignment_heads(
+            dump, self.dims.n_text_layer, self.dims.n_text_head
+        )
+
     def get_alignment_heads(self) -> np.ndarray:
         if self.alignment_heads is not None:
             return np.asarray(self.alignment_heads, dtype=bool)

@@ -1,0 +1,116 @@
+"""Checkpoint registry: official OpenAI Whisper checkpoint URLs (with
+SHA256 pins) and the published per-model word-alignment head bitmaps.
+
+These are public data constants from the OpenAI whisper release, mirrored
+by the reference at `/root/reference/whisper/__init__.py:17-47`; the
+alignment-head bitmaps are base85-encoded gzipped boolean arrays of shape
+(n_text_layer, n_text_head).
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import hashlib
+import os
+import urllib.request
+import warnings
+from typing import List, Optional, Union
+
+import numpy as np
+
+_BASE = "https://openaipublic.azureedge.net/main/whisper/models"
+
+MODEL_URLS = {
+    "tiny.en": f"{_BASE}/d3dd57d32accea0b295c96e26691aa14d8822fac7d9d27d5dc00b4ca2826dd03/tiny.en.pt",
+    "tiny": f"{_BASE}/65147644a518d12f04e32d6f3b26facc3f8dd46e5390956a9424a650c0ce22b9/tiny.pt",
+    "base.en": f"{_BASE}/25a8566e1d0c1e2231d1c762132cd20e0f96a85d16145c3a00adf5d1ac670ead/base.en.pt",
+    "base": f"{_BASE}/ed3a0b6b1c0edf879ad9b11b1af5a0e6ab5db9205f891f668f8b0e6c6326e34e/base.pt",
+    "small.en": f"{_BASE}/f953ad0fd29cacd07d5a9eda5624af0f6bcf2258be67c92b79389873d91e0872/small.en.pt",
+    "small": f"{_BASE}/9ecf779972d90ba49c06d968637d720dd632c55bbf19d441fb42bf17a411e794/small.pt",
+    "medium.en": f"{_BASE}/d7440d1dc186f76616474e0ff0b3b6b879abc9d1a4926b7adfa41db2d497ab4f/medium.en.pt",
+    "medium": f"{_BASE}/345ae4da62f9b3d59415adc60127b97c714f32e89e936602e85993674d08dcb1/medium.pt",
+    "large-v1": f"{_BASE}/e4b87e7e0bf463eb8e6956e646f1e277e901512310def2c24bf0e11bd3c28e9a/large-v1.pt",
+    "large-v2": f"{_BASE}/81f7c96c852ee8fc832187b0132e569d6c3065a3252ed18e56effd0b6a73e524/large-v2.pt",
+    "large-v3": f"{_BASE}/e5b1a55b89c1367dacf97e3e19bfd829a01529dbfdeefa8caeb59b3f1b81dadb/large-v3.pt",
+    "large": f"{_BASE}/e5b1a55b89c1367dacf97e3e19bfd829a01529dbfdeefa8caeb59b3f1b81dadb/large-v3.pt",
+}
+
+# base85-encoded (n_layers, n_heads) boolean arrays of the cross-attention
+# heads most correlated with word-level timing (OpenAI-published data)
+ALIGNMENT_HEADS = {
+    "tiny.en": b"ABzY8J1N>@0{>%R00Bk>$p{7v037`oCl~+#00",
+    "tiny": b"ABzY8bu8Lr0{>%RKn9Fp%m@SkK7Kt=7ytkO",
+    "base.en": b"ABzY8;40c<0{>%RzzG;p*o+Vo09|#PsxSZm00",
+    "base": b"ABzY8KQ!870{>%RzyTQH3`Q^yNP!>##QT-<FaQ7m",
+    "small.en": b"ABzY8>?_)10{>%RpeA61k&I|OI3I$65C{;;pbCHh0B{qLQ;+}v00",
+    "small": b"ABzY8DmU6=0{>%Rpa?J`kvJ6qF(V^F86#Xh7JUGMK}P<N0000",
+    "medium.en": b"ABzY8usPae0{>%R7<zz_OvQ{)4kMa0BMw6u5rT}kRKX;$NfYBv00*Hl@qhsU00",
+    "medium": b"ABzY8B0Jh+0{>%R7}kK1fFL7w6%<-Pf*t^=N)Qr&0RR9",
+    "large-v1": b"ABzY8r9j$a0{>%R7#4sLmoOs{s)o3~84-RPdcFk!JR<kSfC2yj",
+    "large-v2": b"ABzY8zd+h!0{>%R7=D0pU<_bnWW*tkYAhobTNnu$jnkEkXqp)j;w1Tzk)UH3X%SZd&fFZ2fC2yj",
+    "large-v3": b"ABzY8gWO1E0{>%R7(9S+Kn!D~%ngiGaR?*L!iJG9p-nab0JQ=-{D1-g00",
+    "large": b"ABzY8gWO1E0{>%R7(9S+Kn!D~%ngiGaR?*L!iJG9p-nab0JQ=-{D1-g00",
+}
+
+
+def decode_alignment_heads(dump: bytes, n_text_layer: int, n_text_head: int) -> np.ndarray:
+    """base85 -> gzip -> bool bitmap of shape (n_text_layer, n_text_head)."""
+    array = np.frombuffer(
+        gzip.decompress(base64.b85decode(dump)), dtype=bool
+    ).copy()
+    return array.reshape(n_text_layer, n_text_head)
+
+
+def alignment_heads_for(name: str, n_text_layer: int, n_text_head: int) -> Optional[np.ndarray]:
+    if name in ALIGNMENT_HEADS:
+        return decode_alignment_heads(ALIGNMENT_HEADS[name], n_text_layer, n_text_head)
+    return None
+
+
+def download_checkpoint(
+    name: str, root: Optional[str] = None, in_memory: bool = False
+) -> Union[bytes, str]:
+    """Fetch an official checkpoint with SHA256 verification.
+
+    Parity: reference `whisper/__init__.py:50-91` (cached file reuse,
+    checksum re-download, post-download verification).
+    """
+    if name not in MODEL_URLS:
+        raise RuntimeError(f"Model {name} not found; available = {list(MODEL_URLS)}")
+    url = MODEL_URLS[name]
+    root = root or os.path.join(
+        os.getenv("XDG_CACHE_HOME", os.path.expanduser("~/.cache")), "whisper"
+    )
+    os.makedirs(root, exist_ok=True)
+
+    expected_sha256 = url.split("/")[-2]
+    download_target = os.path.join(root, os.path.basename(url))
+
+    if os.path.exists(download_target) and not os.path.isfile(download_target):
+        raise RuntimeError(f"{download_target} exists and is not a regular file")
+
+    if os.path.isfile(download_target):
+        with open(download_target, "rb") as f:
+            model_bytes = f.read()
+        if hashlib.sha256(model_bytes).hexdigest() == expected_sha256:
+            return model_bytes if in_memory else download_target
+        warnings.warn(
+            f"{download_target} exists, but the SHA256 checksum does not match; "
+            "re-downloading the file"
+        )
+
+    with urllib.request.urlopen(url) as source, open(download_target, "wb") as output:
+        while True:
+            buffer = source.read(8192)
+            if not buffer:
+                break
+            output.write(buffer)
+
+    model_bytes = open(download_target, "rb").read()
+    if hashlib.sha256(model_bytes).hexdigest() != expected_sha256:
+        raise RuntimeError(
+            "Model has been downloaded but the SHA256 checksum does not match. "
+            "Please retry loading the model."
+        )
+    return model_bytes if in_memory else download_target

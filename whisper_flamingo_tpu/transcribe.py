@@ -146,7 +146,15 @@ def transcribe(
         }
 
     last_speech_timestamp = 0.0
+    prev_loop_seek = -1
     while seek < content_frames:
+        if seek == prev_loop_seek:
+            # safety: a degenerate <|0.00|>,<|0.00|> pair would otherwise
+            # freeze the seek pointer (latent in the reference too); skip
+            # the window instead of looping forever
+            seek += N_FRAMES
+            continue
+        prev_loop_seek = seek
         time_offset = float(seek * HOP_LENGTH / SAMPLE_RATE)
         mel_segment = mel[:, seek : seek + N_FRAMES]
         segment_size = min(N_FRAMES, content_frames - seek)
