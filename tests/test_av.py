@@ -1,0 +1,137 @@
+"""Audio-visual path: visual frontend, video encoder, AV fusion, AV decode,
+and conditioned (xt) decoding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_flamingo_tpu.decoding import DecodingOptions, decode
+from whisper_flamingo_tpu.models.avhubert import (
+    VIDEO_ENCODER_CONFIGS,
+    AVWhisper,
+    init_video_encoder,
+    video_encoder_apply,
+)
+from whisper_flamingo_tpu.models.dims import MODEL_DIMS
+from whisper_flamingo_tpu.models.visual import (
+    init_visual_frontend,
+    load_visual_frontend_torch,
+    visual_frontend_apply,
+)
+from whisper_flamingo_tpu.models.whisper import ModelExtras, Whisper, init_params
+
+VCFG = VIDEO_ENCODER_CONFIGS["debug"]
+
+
+def test_visual_frontend_shapes():
+    params = init_visual_frontend(jax.random.PRNGKey(0))
+    frames = np.random.default_rng(0).standard_normal((2, 6, 88, 88)).astype(np.float32)
+    out = visual_frontend_apply(params, jnp.asarray(frames))
+    assert out.shape == (2, 6, 512)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_visual_frontend_torch_parity():
+    """Our functional frontend must match the reference torch ResEncoder."""
+    torch = pytest.importorskip("torch")
+    from conftest import import_reference_whisper
+
+    whisper = import_reference_whisper()
+    torch.manual_seed(0)
+    ref = whisper.resnet.ResEncoder(relu_type="prelu", weights=None)
+    ref.eval()
+    # randomize BN running stats so inference-mode parity is non-trivial
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm3d)):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+
+    state = {}
+    state.update({f"frontend3D.{k}": v for k, v in ref.frontend3D.state_dict().items()})
+    state.update(ref.trunk.state_dict())
+    params = load_visual_frontend_torch(state)
+
+    frames = np.random.default_rng(1).standard_normal((1, 4, 48, 48)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(frames[:, None]))  # (B, 512, T)
+    expected = expected.permute(0, 2, 1).numpy()
+    ours = np.asarray(visual_frontend_apply(params, jnp.asarray(frames)))
+    np.testing.assert_allclose(ours, expected, atol=2e-3, rtol=1e-2)
+
+
+def test_video_encoder_shapes():
+    params = init_video_encoder(jax.random.PRNGKey(0), VCFG)
+    frames = np.random.default_rng(0).standard_normal((2, 5, 48, 48)).astype(np.float32)
+    out = video_encoder_apply(params, VCFG, jnp.asarray(frames))
+    assert out.shape == (2, 5, VCFG.embed_dim)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.fixture(scope="module")
+def av_model():
+    dims = MODEL_DIMS["debug"]
+    extras = ModelExtras(add_gated_x_attn=1, num_langs=1, bert_dim=VCFG.embed_dim)
+    whisper = Whisper(
+        dims=dims, params=init_params(jax.random.PRNGKey(0), dims, extras),
+        extras=extras,
+    )
+    return AVWhisper(
+        whisper=whisper,
+        video_params=init_video_encoder(jax.random.PRNGKey(1), VCFG),
+        video_cfg=VCFG,
+    )
+
+
+def test_av_encode_modality_masks(av_model):
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 80, 3000)).astype(np.float32)
+    video = rng.standard_normal((1, 8, 48, 48)).astype(np.float32)
+
+    a_full, v_full = av_model.encode(mel, video)
+    assert v_full.shape == (1, 8, VCFG.embed_dim)
+    a_only, v_only = av_model.encode(mel, video, test_a=True)
+    assert float(jnp.abs(v_only).max()) == 0.0  # video dropped
+    np.testing.assert_allclose(np.asarray(a_only), np.asarray(a_full), atol=1e-6)
+    a_v, v_v = av_model.encode(mel, video, test_v=True)
+    assert float(jnp.abs(a_v).max()) == 0.0  # audio dropped
+    assert float(jnp.abs(v_v).max()) > 0.0
+
+
+def test_av_decode_runs(av_model):
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((1, 80, 3000)).astype(np.float32)
+    video = rng.standard_normal((1, 8, 48, 48)).astype(np.float32)
+    res = av_model.decode(
+        mel,
+        DecodingOptions(language="en", fp16=False, sample_len=6, without_timestamps=True),
+        video=video,
+    )
+    assert len(res) == 1 and isinstance(res[0].text, str)
+
+
+def test_xt_decode_changes_output_when_gates_open(av_model):
+    """Conditioning must be inert at gate=0 and active once gates open
+    (the zero-init Flamingo property end to end)."""
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((1, 80, 3000)).astype(np.float32)
+    xt = rng.standard_normal((1, 1, 7, VCFG.embed_dim)).astype(np.float32)
+    opts = DecodingOptions(language="en", fp16=False, sample_len=6, without_timestamps=True)
+
+    base = decode(av_model.whisper, mel, opts)
+    cond = decode(av_model.whisper, mel, opts, xt=xt)
+    assert cond[0].tokens == base[0].tokens  # gates are tanh(0) = 0
+
+    import jax
+
+    opened = jax.tree.map(lambda x: x, av_model.whisper.params)
+    g = opened["decoder"]["blocks"]["gated"]
+    g["langs"]["attn_gate"] = jnp.full_like(g["langs"]["attn_gate"], 2.0)
+    g["ff_gate"] = jnp.full_like(g["ff_gate"], 2.0)
+    opened_model = Whisper(
+        dims=av_model.whisper.dims, params=opened, extras=av_model.whisper.extras
+    )
+    cond_open = decode(opened_model, mel, opts, xt=xt)
+    base_open = decode(opened_model, mel, opts)
+    assert cond_open[0].tokens != base_open[0].tokens

@@ -380,6 +380,23 @@ class DecodingTask:
     # -- device programs ---------------------------------------------------
 
     @cached_property
+    def _compiled_xt(self):
+        return _make_decode_program(
+            self.model.dims,
+            self.filter_cfg,
+            self.n_group,
+            self.tokenizer.eot,
+            self.max_len,
+            self.options.temperature,
+            self.beam_size is not None,
+            self.max_candidates,
+            self.compute_dtype,
+            self.tokenizer.no_speech,
+            self.sot_index,
+            True,
+        )
+
+    @cached_property
     def _compiled(self):
         return _make_decode_program(
             self.model.dims,
@@ -456,7 +473,11 @@ class DecodingTask:
 
     # -- public API --------------------------------------------------------
 
-    def run(self, mel) -> List[DecodingResult]:
+    def run(self, mel, xt=None) -> List[DecodingResult]:
+        """``xt``: optional conditioning streams (n_langs, B, S, D) for the
+        gated cross-attention decoder (translated-text or video features;
+        AV contract parity: reference decoding.py:648-672 threads x_v the
+        same way)."""
         tokenizer = self.tokenizer
         mel = jnp.asarray(mel)
         n_audio = mel.shape[0]
@@ -495,7 +516,11 @@ class DecodingTask:
         init_rep = jnp.asarray(np.repeat(init, G, axis=0))
         rng = jax.random.PRNGKey(self.options.seed)
 
-        out = self._compiled(self.model.params, features_rep, init_rep, rng)
+        if xt is not None:
+            xt_rep = jnp.repeat(jnp.asarray(xt), G, axis=1)
+            out = self._compiled_xt(self.model.params, features_rep, init_rep, rng, xt_rep)
+        else:
+            out = self._compiled(self.model.params, features_rep, init_rep, rng)
 
         no_speech_probs = np.asarray(out["no_speech_probs"])[::G]
         cand_tokens, cand_scores = self._finalize(out)
@@ -540,16 +565,24 @@ def decode(
     model: "Whisper",
     mel,
     options: DecodingOptions = DecodingOptions(),
+    xt=None,
     **kwargs,
 ) -> Union[DecodingResult, List[DecodingResult]]:
-    """Decode 30-second mel segment(s). Parity: reference decoding.py:801-838."""
+    """Decode 30-second mel segment(s). Parity: reference decoding.py:801-838.
+
+    ``xt`` optionally supplies gated-x-attn conditioning streams
+    (n_langs, B, S, D) — translated-text embeddings or video features."""
     mel = jnp.asarray(mel)
     single = mel.ndim == 2
     if single:
         mel = mel[None]
+        if xt is not None:
+            xt = jnp.asarray(xt)
+            if xt.ndim == 3:  # (n_langs, S, D) -> add the batch axis
+                xt = xt[:, None]
     if kwargs:
         options = replace(options, **kwargs)
-    result = DecodingTask(model, options).run(mel)
+    result = DecodingTask(model, options).run(mel, xt=xt)
     return result[0] if single else result
 
 
@@ -567,16 +600,19 @@ def _make_decode_program(
     dtype,
     no_speech,
     sot_index: int,
+    use_xt: bool = False,
 ):
     """Build (and cache) the jitted end-to-end decode program for one
-    static decode configuration."""
+    static decode configuration. With ``use_xt`` the program takes an
+    extra conditioning-stream operand consumed by gated x-attn."""
 
-    def prefill_and_loop(params, audio_features, init_tokens, rng):
+    def prefill_and_loop(params, audio_features, init_tokens, rng, xt=None):
         n_batch = init_tokens.shape[0]  # B * G
         init_len = init_tokens.shape[1]
 
         cache = init_cache(
-            params, dims, audio_features, max_len=max_len, dtype=dtype
+            params, dims, audio_features,
+            xt=xt if use_xt else None, max_len=max_len, dtype=dtype,
         )
         logits, cache = decoder_apply(
             params, dims, init_tokens, cache=cache, offset=0, dtype=dtype

@@ -318,10 +318,12 @@ def decoder_apply(
     ) if not isinstance(offset, int) or offset != 0 else dec["pos_embedding"][:T]
     x = (tok_emb + pos).astype(dtype)
 
+    # A gated model run without conditioning streams behaves like the
+    # reference with xt_list=[] (model.py:171-199): zero attention delta,
+    # but the shared tanh-gated FFN sub-layer still applies.
     use_gated = "gated" in dec["blocks"]
     if use_gated and cache is None:
-        assert xt is not None, "gated-x-attn model requires conditioning streams"
-        xt_p = _prepare_xt(params, dims, xt, dtype)
+        xt_p = _prepare_xt(params, dims, xt, dtype) if xt is not None else None
     elif use_gated and cache is not None:
         xt_p = cache.get("xt")
 
@@ -330,8 +332,10 @@ def decoder_apply(
         xa = audio_features.astype(dtype)
 
         def block_fn(x, bp):
-            if use_gated:
+            if use_gated and xt_p is not None:
                 x = gated_x_attn(bp["gated"], x, xt_p, n_head)
+            elif use_gated:
+                x = _gated_ff_only(bp["gated"], x)
             x = x + attention_block(
                 bp["attn"], layer_norm(bp["attn_ln"], x), n_head, mask=mask,
                 backend=backend,
@@ -356,11 +360,15 @@ def decoder_apply(
         cache_len = cache["k"].shape[2]
         mask = cached_causal_mask(T, cache_len, offset)
 
+        have_xt_kv = use_gated and "xt_k" in cache
+
         def block_fn(x, layer_in):
             bp, k_l, v_l, xa_k_l, xa_v_l, xt_kv_l = layer_in
-            if use_gated:
+            if have_xt_kv:
                 xt_k_l, xt_v_l = xt_kv_l
                 x = _gated_x_attn_cached(bp["gated"], x, xt_k_l, xt_v_l, n_head)
+            elif use_gated:
+                x = _gated_ff_only(bp["gated"], x)
             x_ln = layer_norm(bp["attn_ln"], x)
             k_new = linear(bp["attn"]["k"], x_ln)
             v_new = linear(bp["attn"]["v"], x_ln)
@@ -378,7 +386,7 @@ def decoder_apply(
             return x, (k_l, v_l)
 
         xt_kv = (
-            (cache["xt_k"], cache["xt_v"]) if use_gated
+            (cache["xt_k"], cache["xt_v"]) if have_xt_kv
             else (jnp.zeros((dims.n_text_layer,)), jnp.zeros((dims.n_text_layer,)))
         )
         x, (new_k, new_v) = jax.lax.scan(
@@ -396,6 +404,13 @@ def decoder_apply(
         preferred_element_type=jnp.float32,
     )
     return logits, new_cache
+
+
+def _gated_ff_only(p: Params, x: jax.Array) -> jax.Array:
+    """Gated block with no conditioning streams: only the shared FFN."""
+    return x + mlp_block(p["ff"], layer_norm(p["ff_ln"], x)) * jnp.tanh(
+        p["ff_gate"].astype(x.dtype)
+    )
 
 
 def _gated_x_attn_cached(
