@@ -1,0 +1,155 @@
+"""Shared recipe plumbing: config -> datasets, loaders, model, conditioner.
+
+Replaces the copy-paste preamble of the reference's ~40 experiment scripts
+(SURVEY.md §2.3) with one builder. Dataset selection comes from the
+config's ``dataset`` key:
+
+- ``synthetic``  — deterministic random utterances (smoke tests, CI);
+- ``manifest:<path>`` — TSV/CSV manifest of wav paths + text
+  (+ translation columns);
+- ``hf:<name>[:<config>]`` — HuggingFace datasets (librispeech_asr,
+  google/fleurs, formospeech/*), needs a local HF cache.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from whisper_flamingo_tpu.config import TrainConfig
+from whisper_flamingo_tpu.data.collator import WhisperCollator
+from whisper_flamingo_tpu.data.dataset import (
+    DataLoader,
+    HFAsrSource,
+    ManifestAsrSource,
+    SpeechDataset,
+    SyntheticAsrSource,
+)
+from whisper_flamingo_tpu.data.samplers import (
+    DistributedBatchSampler,
+    ShuffledBatchSampler,
+    SortedBatchSampler,
+)
+from whisper_flamingo_tpu.models.dims import MODEL_DIMS
+from whisper_flamingo_tpu.tokenizer import get_tokenizer
+
+
+def build_source(spec: str, split: str, cfg: TrainConfig):
+    if spec == "synthetic" or not spec:
+        n = int(cfg.extras.get("synthetic_n", 32))
+        n_trans = cfg.num_langs if cfg.add_gated_x_attn else 0
+        return SyntheticAsrSource(
+            n=n if split == "train" else max(n // 4, 2),
+            seed=0 if split == "train" else 1,
+            n_translations=n_trans,
+        )
+    if spec.startswith("manifest:"):
+        return ManifestAsrSource(spec.split(":", 1)[1].format(split=split))
+    if spec.startswith("hf:"):
+        parts = spec.split(":")
+        name = parts[1]
+        config = parts[2] if len(parts) > 2 else None
+        return HFAsrSource(name, split=split, config=config)
+    raise ValueError(f"unknown dataset spec: {spec!r}")
+
+
+def build_loader(cfg: TrainConfig, split: str, tokenizer, *, training: bool,
+                 translations: bool = False, prompts: bool = False):
+    source = build_source(str(cfg.extras.get("dataset", "synthetic")), split, cfg)
+    noise_wavs = []
+    noise_fn = cfg.noise_fn if training else cfg.noise_fn_val
+    if noise_fn and os.path.exists(noise_fn):
+        with open(noise_fn) as f:  # tsv of noise wav paths (reference utils.py:30)
+            noise_wavs = [line.split("\t")[0].strip() for line in f if line.strip()]
+    ds = SpeechDataset(
+        source=source,
+        tokenizer=tokenizer,
+        audio_max_length=cfg.audio_max_length,
+        spec_augment=cfg.spec_augment if training else "",
+        noise_prob=cfg.noise_prob if training else 0.0,
+        noise_wavs=noise_wavs,
+        noise_snr=cfg.noise_snr_train if training else cfg.noise_snr_eval,
+        translations_use=translations,
+        prompt_use=prompts,
+        max_prompt_len=cfg.max_prompt_len,
+        seed=cfg.seed,
+        training=training,
+    )
+    sampler = SortedBatchSampler(batch_size=cfg.batch_size, shapes=ds.mel_lengths())
+    if training:
+        sampler = ShuffledBatchSampler(sampler, seed=cfg.seed)
+    if cfg.num_devices > 1 and "process_index" in cfg.extras:
+        sampler = DistributedBatchSampler(
+            sampler, cfg.num_devices, int(cfg.extras["process_index"])
+        )
+    return DataLoader(ds, sampler, WhisperCollator())
+
+
+def build_model(cfg: TrainConfig, *, gated: bool = None):
+    from whisper_flamingo_tpu import load_model
+
+    gated = cfg.add_gated_x_attn if gated is None else gated
+    model = load_model(
+        cfg.model_name,
+        dropout_rate=cfg.dropout_rate,
+        add_gated_x_attn=1 if gated else 0,
+        bert_dim=cfg.bert_dim,
+        num_langs=cfg.num_langs,
+        seed=cfg.seed,
+        dtype=cfg.compute_dtype,
+    )
+    if cfg.pt_ckpt:
+        from whisper_flamingo_tpu.training.checkpoints import load_torch_checkpoint
+
+        model.params, _ = load_torch_checkpoint(cfg.pt_ckpt, model.dims, model.extras)
+    return model
+
+
+def build_conditioner(cfg: TrainConfig):
+    from whisper_flamingo_tpu.models.bert import HFBertConditioner
+
+    pretrained = bool(cfg.extras.get("bert_pretrained", True))
+    return HFBertConditioner(cfg.bert_encoder, pretrained=pretrained)
+
+
+def make_xt_prepare(conditioner, num_langs: int):
+    """Batch hook: run the text conditioner over the translation strings
+    (reference whisper-flamingo_amis.py:182-193 / transkd:284-310)."""
+
+    def prepare(batch):
+        if "all_translations" not in batch:
+            return batch
+        per_lang = list(zip(*batch["all_translations"]))[:num_langs]
+        batch = dict(batch)
+        batch["xt"] = conditioner.encode_multi(per_lang)
+        return batch
+
+    return prepare
+
+
+def load_config(argv=None) -> TrainConfig:
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config", help="yaml config path")
+    parser.add_argument("overrides", nargs="*", help="key=value overrides")
+    args = parser.parse_args(argv)
+    overrides = {}
+    for item in args.overrides:
+        k, v = item.split("=", 1)
+        try:
+            import ast
+
+            v = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass
+        overrides[k] = v
+    cfg = TrainConfig.from_yaml(args.config, **overrides)
+    if cfg.extras.get("platform"):  # e.g. smoke configs force CPU
+        jax.config.update("jax_platforms", str(cfg.extras["platform"]))
+    return cfg

@@ -184,7 +184,9 @@ def make_kd_train_step(
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         return new_state, {"loss": loss, "ce": ce, "kd": kd}
 
-    return jax.jit(step, donate_argnums=(0,))
+    # no donation: the student state may alias teacher params (student is
+    # typically initialized from the teacher), and teacher args are live
+    return jax.jit(step)
 
 
 def make_prompt_kd_train_step(
@@ -256,7 +258,9 @@ def make_prompt_kd_train_step(
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         return new_state, {"loss": loss, "ce": ce, "kd": kd}
 
-    return jax.jit(step, donate_argnums=(0,))
+    # no donation: the student state may alias teacher params (student is
+    # typically initialized from the teacher), and teacher args are live
+    return jax.jit(step)
 
 
 def _scatter_rows(dest: jax.Array, idx: jax.Array, src: jax.Array) -> jax.Array:

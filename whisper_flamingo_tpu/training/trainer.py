@@ -98,6 +98,7 @@ class CheckpointManager:
         last = os.path.join(self.directory, "last")
         self._ckptr.save(path, state.params, force=True)
         self._ckptr.save(last, state.params, force=True)
+        self._ckptr.wait_until_finished()  # saves are async; don't race exit
         with open(os.path.join(self.directory, "last.meta.json"), "w") as f:
             json.dump({"step": step, "metrics": {k: float(v) for k, v in metrics.items()}}, f)
         if not np.isnan(score):
