@@ -1,0 +1,98 @@
+"""Normalizer parity vs the reference implementations (loaded read-only)."""
+
+import importlib.util
+import sys
+
+import pytest
+
+from whisper_flamingo_tpu.normalizers import BasicTextNormalizer, EnglishTextNormalizer
+
+
+@pytest.fixture(scope="module")
+def ref_normalizers():
+    spec_b = importlib.util.spec_from_file_location(
+        "ref_norm_basic", "/root/reference/whisper/normalizers/basic.py"
+    )
+    basic = importlib.util.module_from_spec(spec_b)
+    spec_b.loader.exec_module(basic)
+
+    # english.py does `from .basic import ...`; load it inside a package shim
+    import types
+
+    pkg = types.ModuleType("ref_norm_pkg")
+    pkg.__path__ = ["/root/reference/whisper/normalizers"]
+    sys.modules["ref_norm_pkg"] = pkg
+    sys.modules["ref_norm_pkg.basic"] = basic
+    basic.__name__ = "ref_norm_pkg.basic"
+    spec_e = importlib.util.spec_from_file_location(
+        "ref_norm_pkg.english", "/root/reference/whisper/normalizers/english.py"
+    )
+    english = importlib.util.module_from_spec(spec_e)
+    spec_e.loader.exec_module(english)
+    return basic, english
+
+
+CASES = [
+    "Hello, World! (noise) [MUSIC] déjà vu…",
+    "I'd been there; it's John's—book. Won't you let's go?",
+    "Mr. Smith owes $20 million and ¢7, plus twenty-five percent.",
+    "nineteen sixty seven was the year; one oh one dalmatians",
+    "two hundred and fifty thousand dollars and a half",
+    "she was the twenty third, he came in 42nd, the 1960s were wild",
+    "double oh seven and triple six",
+    "three point one four one five nine",
+    "minus five degrees, plus ten per cent",
+    "I have one hundred ones and two hundred twos",
+    "it costs $0.79 only",
+    "the colour of the neighbour's armour",
+    "a million billion trillion things",
+    "um, the fourth of July, uh, nineteen seventy six",
+    "point five and five point and and",
+    "one two three four five six seven",
+    "seventy-six trombones led the big parade",
+]
+
+
+def test_basic_normalizer_parity(ref_normalizers):
+    basic, _ = ref_normalizers
+    for rd in (False, True):
+        ours = BasicTextNormalizer(remove_diacritics=rd)
+        theirs = basic.BasicTextNormalizer(remove_diacritics=rd)
+        for case in CASES:
+            assert ours(case) == theirs(case), (rd, case)
+
+
+def test_basic_split_letters(ref_normalizers):
+    basic, _ = ref_normalizers
+    ours = BasicTextNormalizer(split_letters=True)
+    theirs = basic.BasicTextNormalizer(split_letters=True)
+    for case in ["hello 世界 abc", "กขค one two"]:
+        assert ours(case) == theirs(case)
+
+
+def test_english_normalizer_parity(ref_normalizers):
+    _, english = ref_normalizers
+    ours = EnglishTextNormalizer()
+    theirs = english.EnglishTextNormalizer()
+    for case in CASES:
+        assert ours(case) == theirs(case), case
+
+
+def test_english_number_edge_cases(ref_normalizers):
+    _, english = ref_normalizers
+    ours = EnglishTextNormalizer()
+    theirs = english.EnglishTextNormalizer()
+    extra = [
+        "one thousand and one nights",
+        "sixty six thousand six hundred and sixty six",
+        "a hundred thousand million",
+        "fifth third bank on thirty fourth street",
+        "two dollars and fifty cents",
+        "nineteen eighty four by george orwell",
+        "o one two oh three",
+        "ten percent of one percent",
+        "twelve thirty five pm on the ninth",
+        "1.5 million users, 2,500 downloads",
+    ]
+    for case in extra:
+        assert ours(case) == theirs(case), case

@@ -67,5 +67,7 @@ class BasicTextNormalizer:
         if self.split_letters:
             s = " ".join(regex.findall(r"\X", s, regex.U))
 
-        s = re.sub(r"\s+", " ", s)  # any successive whitespace -> single space
-        return s.strip()
+        # any successive whitespace -> single space (note: the reference
+        # does not strip leading/trailing space; kept for exact parity)
+        s = re.sub(r"\s+", " ", s)
+        return s
