@@ -26,7 +26,11 @@ REFERENCE_ROOT = "/root/reference"
 def _stub_module(name: str, **attrs) -> None:
     if name in sys.modules:
         return
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec() on the stub works
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod

@@ -1,0 +1,124 @@
+"""Legacy variant components: sequential fusion, ResNet1D, reprogramming,
+AdaKWS keyword spotting."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_flamingo_tpu.models.dims import MODEL_DIMS
+from whisper_flamingo_tpu.models.legacy import (
+    adakws_apply,
+    init_adakws,
+    init_reprogramming,
+    init_resnet1d,
+    reprogramming_apply,
+    resnet1d_apply,
+)
+from whisper_flamingo_tpu.models.whisper import ModelExtras, decoder_apply, init_params
+
+DIMS = MODEL_DIMS["debug"]
+
+
+def test_sequential_vs_parallel_fusion_differ():
+    extras = ModelExtras(add_gated_x_attn=1, num_langs=2, bert_dim=64)
+    params = init_params(jax.random.PRNGKey(0), DIMS, extras)
+    # open the gates so fusion order matters
+    g = params["decoder"]["blocks"]["gated"]
+    g["langs"]["attn_gate"] = jnp.full_like(g["langs"]["attn_gate"], 1.0)
+    g["ff_gate"] = jnp.full_like(g["ff_gate"], 1.0)
+
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((1, 1500, 64)).astype(np.float32)
+    tokens = rng.integers(0, 1000, (1, 6)).astype(np.int32)
+    xt = rng.standard_normal((2, 1, 5, 64)).astype(np.float32)
+
+    par, _ = decoder_apply(params, DIMS, tokens, feats, xt=xt)
+    seq, _ = decoder_apply(params, DIMS, tokens, feats, xt=xt, sequential_xt=True)
+    assert not np.allclose(np.asarray(par), np.asarray(seq), atol=1e-4)
+
+    # with a single stream the two orders coincide
+    par1, _ = decoder_apply(params, DIMS, tokens, feats, xt=xt[:1])
+    seq1, _ = decoder_apply(params, DIMS, tokens, feats, xt=xt[:1], sequential_xt=True)
+    np.testing.assert_allclose(np.asarray(par1), np.asarray(seq1), atol=1e-5)
+
+
+def test_resnet1d_torch_parity():
+    torch = pytest.importorskip("torch")
+    from conftest import import_reference_whisper
+
+    import_reference_whisper()
+    import importlib
+
+    # model_all imports torch BertModel at module top; the torch modeling
+    # path is broken in this image (Flax path works), so short-circuit the
+    # lazy attributes — the ResNet1D under test doesn't use BERT.
+    import transformers
+
+    for attr in ("BertModel", "BertTokenizer"):
+        setattr(transformers, attr, object)
+    model_all = importlib.import_module("whisper.model_all")
+    torch.manual_seed(0)
+    ref = model_all.ResNet1D(input_dim=32, hidden_dim=48, num_layers=2)
+    ref.eval()
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 2.0)
+
+    params = init_resnet1d(jax.random.PRNGKey(0), 32, 48, 2)
+    state = ref.state_dict()
+    for i in range(2):
+        blk = params["layers"][i]
+        blk["conv1"]["w"] = jnp.asarray(
+            state[f"layers.{i}.0.weight"].numpy().transpose(2, 1, 0))
+        blk["conv1"]["b"] = jnp.asarray(state[f"layers.{i}.0.bias"].numpy())
+        blk["bn1"] = {
+            "scale": jnp.asarray(state[f"layers.{i}.1.weight"].numpy()),
+            "bias": jnp.asarray(state[f"layers.{i}.1.bias"].numpy()),
+            "mean": jnp.asarray(state[f"layers.{i}.1.running_mean"].numpy()),
+            "var": jnp.asarray(state[f"layers.{i}.1.running_var"].numpy()),
+        }
+        blk["conv2"]["w"] = jnp.asarray(
+            state[f"layers.{i}.3.weight"].numpy().transpose(2, 1, 0))
+        blk["conv2"]["b"] = jnp.asarray(state[f"layers.{i}.3.bias"].numpy())
+        blk["bn2"] = {
+            "scale": jnp.asarray(state[f"layers.{i}.4.weight"].numpy()),
+            "bias": jnp.asarray(state[f"layers.{i}.4.bias"].numpy()),
+            "mean": jnp.asarray(state[f"layers.{i}.4.running_mean"].numpy()),
+            "var": jnp.asarray(state[f"layers.{i}.4.running_var"].numpy()),
+        }
+
+    x = np.random.default_rng(1).standard_normal((2, 7, 32)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(resnet1d_apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expected, atol=1e-4, rtol=1e-3)
+
+
+def test_reprogramming_shapes():
+    params = init_reprogramming(jax.random.PRNGKey(0), d_model=32, n_heads=4, d_llm=48)
+    rng = np.random.default_rng(0)
+    target = rng.standard_normal((2, 5, 32)).astype(np.float32)
+    # _m1: shared source
+    src = rng.standard_normal((11, 48)).astype(np.float32)
+    out1 = reprogramming_apply(params, jnp.asarray(target), jnp.asarray(src),
+                               jnp.asarray(src), n_heads=4)
+    assert out1.shape == (2, 5, 48)
+    # _m2: batched source
+    src_b = rng.standard_normal((2, 11, 48)).astype(np.float32)
+    out2 = reprogramming_apply(params, jnp.asarray(target), jnp.asarray(src_b),
+                               jnp.asarray(src_b), n_heads=4)
+    assert out2.shape == (2, 5, 48)
+
+
+def test_adakws_keyword_spotting():
+    params = init_adakws(jax.random.PRNGKey(0), vocab_size=64, d_model=32,
+                         embed_dim=16, hidden_dim=24, dim_ff=48)
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((2, 10, 32)).astype(np.float32)
+    keywords = rng.integers(0, 64, (2, 3, 6)).astype(np.int32)
+    logits = adakws_apply(params, jnp.asarray(audio), jnp.asarray(keywords))
+    assert logits.shape == (2, 3, 2)
+    assert np.isfinite(np.asarray(logits)).all()

@@ -394,6 +394,7 @@ class DecodingTask:
             self.tokenizer.no_speech,
             self.sot_index,
             True,
+            getattr(self.model.extras, "sequential_gated_x_attn", False),
         )
 
     @cached_property
@@ -601,6 +602,7 @@ def _make_decode_program(
     no_speech,
     sot_index: int,
     use_xt: bool = False,
+    sequential_xt: bool = False,
 ):
     """Build (and cache) the jitted end-to-end decode program for one
     static decode configuration. With ``use_xt`` the program takes an
@@ -615,7 +617,8 @@ def _make_decode_program(
             xt=xt if use_xt else None, max_len=max_len, dtype=dtype,
         )
         logits, cache = decoder_apply(
-            params, dims, init_tokens, cache=cache, offset=0, dtype=dtype
+            params, dims, init_tokens, cache=cache, offset=0, dtype=dtype,
+            sequential_xt=sequential_xt,
         )
         no_speech_probs = jax.nn.softmax(
             logits[:, sot_index].astype(jnp.float32), axis=-1

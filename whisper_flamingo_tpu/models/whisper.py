@@ -135,26 +135,35 @@ def mlp_block(p: Params, x: jax.Array) -> jax.Array:
 
 
 def gated_x_attn(
-    p: Params, x: jax.Array, xt: jax.Array, n_head: int
+    p: Params, x: jax.Array, xt: jax.Array, n_head: int, sequential: bool = False
 ) -> jax.Array:
     """Flamingo-style gated conditioning, parity: reference model.py:121-134,
     171-199. ``xt`` is stacked (n_langs, B, S, D); returns the updated x.
 
-    Each language sub-block attends from LN(x_origin) into its stream and
-    contributes ``attn_out * tanh(gate_i)``; all deltas sum into x, then a
-    shared tanh-gated FFN is applied.
+    Parallel (default): each language sub-block attends from LN(x_origin)
+    into its stream and contributes ``attn_out * tanh(gate_i)``; all deltas
+    sum into x. Sequential (legacy ``sequential_gated_x_attn``, reference
+    model_all.py:166-170): each stream's delta is applied before the next
+    stream attends. Both end with the shared tanh-gated FFN.
     """
     n_langs = xt.shape[0]
-    x_origin = x
-    total_delta = jnp.zeros_like(x)
-    for i in range(n_langs):
-        sub = jax.tree.map(lambda a: a[i], p["langs"])
-        x_ln = layer_norm(sub["attn_ln"], x_origin)
-        attn_out = attention_block(sub["attn"], x_ln, n_head, kv_src=xt[i])
-        total_delta = total_delta + attn_out * jnp.tanh(
-            sub["attn_gate"].astype(x.dtype)
-        )
-    x = x_origin + total_delta
+    if sequential:
+        for i in range(n_langs):
+            sub = jax.tree.map(lambda a: a[i], p["langs"])
+            x_ln = layer_norm(sub["attn_ln"], x)
+            attn_out = attention_block(sub["attn"], x_ln, n_head, kv_src=xt[i])
+            x = x + attn_out * jnp.tanh(sub["attn_gate"].astype(x.dtype))
+    else:
+        x_origin = x
+        total_delta = jnp.zeros_like(x)
+        for i in range(n_langs):
+            sub = jax.tree.map(lambda a: a[i], p["langs"])
+            x_ln = layer_norm(sub["attn_ln"], x_origin)
+            attn_out = attention_block(sub["attn"], x_ln, n_head, kv_src=xt[i])
+            total_delta = total_delta + attn_out * jnp.tanh(
+                sub["attn_gate"].astype(x.dtype)
+            )
+        x = x_origin + total_delta
     x = x + mlp_block(p["ff"], layer_norm(p["ff_ln"], x)) * jnp.tanh(
         p["ff_gate"].astype(x.dtype)
     )
@@ -291,6 +300,7 @@ def decoder_apply(
     backend: str = "xla",
     remat: bool = False,
     return_cross_qk: bool = False,
+    sequential_xt: bool = False,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     """tokens (B, T) [+ audio features (B, Ta, D)] -> logits (B, T, V).
 
@@ -333,7 +343,7 @@ def decoder_apply(
 
         def block_fn(x, bp):
             if use_gated and xt_p is not None:
-                x = gated_x_attn(bp["gated"], x, xt_p, n_head)
+                x = gated_x_attn(bp["gated"], x, xt_p, n_head, sequential=sequential_xt)
             elif use_gated:
                 x = _gated_ff_only(bp["gated"], x)
             x = x + attention_block(
@@ -366,7 +376,9 @@ def decoder_apply(
             bp, k_l, v_l, xa_k_l, xa_v_l, xt_kv_l = layer_in
             if have_xt_kv:
                 xt_k_l, xt_v_l = xt_kv_l
-                x = _gated_x_attn_cached(bp["gated"], x, xt_k_l, xt_v_l, n_head)
+                x = _gated_x_attn_cached(
+                    bp["gated"], x, xt_k_l, xt_v_l, n_head, sequential=sequential_xt
+                )
             elif use_gated:
                 x = _gated_ff_only(bp["gated"], x)
             x_ln = layer_norm(bp["attn_ln"], x)
@@ -414,10 +426,23 @@ def _gated_ff_only(p: Params, x: jax.Array) -> jax.Array:
 
 
 def _gated_x_attn_cached(
-    p: Params, x: jax.Array, xt_k: jax.Array, xt_v: jax.Array, n_head: int
+    p: Params, x: jax.Array, xt_k: jax.Array, xt_v: jax.Array, n_head: int,
+    sequential: bool = False,
 ) -> jax.Array:
     """Gated x-attn using precomputed per-language K/V (decode path)."""
     n_langs = xt_k.shape[0]
+    if sequential:
+        for i in range(n_langs):
+            sub = jax.tree.map(lambda a: a[i], p["langs"])
+            x_ln = layer_norm(sub["attn_ln"], x)
+            attn_out = attention_block(
+                sub["attn"], x_ln, n_head, k_override=xt_k[i], v_override=xt_v[i]
+            )
+            x = x + attn_out * jnp.tanh(sub["attn_gate"].astype(x.dtype))
+        x = x + mlp_block(p["ff"], layer_norm(p["ff_ln"], x)) * jnp.tanh(
+            p["ff_gate"].astype(x.dtype)
+        )
+        return x
     x_origin = x
     total_delta = jnp.zeros_like(x)
     for i in range(n_langs):
@@ -482,6 +507,9 @@ class ModelExtras:
     add_gated_x_attn: int = 0
     bert_dim: int = 768
     num_langs: int = 0
+    # legacy two-stream fusion order (reference model_all.py:166-191):
+    # False = parallel deltas (the active model's design), True = sequential
+    sequential_gated_x_attn: bool = False
 
 
 def init_params(
