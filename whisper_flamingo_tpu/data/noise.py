@@ -49,6 +49,13 @@ def add_noise(
     else:
         raise TypeError(f"unsupported noise_snr: {noise_snr!r}")
 
+    from .. import native
+
+    if native.AVAILABLE:
+        mixed = native.mix_noise(clean_wav, noise_wav, snr)
+        if mixed is not None:
+            return mixed.astype(np.int16)
+
     clean_rms = np.sqrt(np.mean(np.square(clean_wav), axis=-1))
     if len(clean_wav) > len(noise_wav):
         ratio = int(np.ceil(len(clean_wav) / len(noise_wav)))

@@ -15,7 +15,17 @@ import numpy as np
 
 
 def edit_distance(a: Sequence, b: Sequence) -> int:
-    """Levenshtein distance via a two-row numpy DP."""
+    """Levenshtein distance; native C kernel when available, else a
+    two-row numpy DP (the reference used the editdistance C extension)."""
+    from . import native
+
+    if native.AVAILABLE:
+        # hash tokens to int64 ids (exact for hashable sequence elements)
+        a_ids = np.array([hash(x) for x in a], dtype=np.int64)
+        b_ids = np.array([hash(x) for x in b], dtype=np.int64)
+        result = native.edit_distance(a_ids, b_ids)
+        if result is not None:
+            return result
     if len(a) < len(b):
         a, b = b, a
     if len(b) == 0:

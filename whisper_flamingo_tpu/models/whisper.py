@@ -180,8 +180,8 @@ def encoder_apply(
     mel: jax.Array,
     *,
     dtype=jnp.float32,
-    backend: str = "xla",
-    remat: bool = False,
+    backend: str = "flash",  # Pallas flash attention over the 1500-frame
+    remat: bool = False,     # axis on TPU; transparent XLA fallback elsewhere
 ) -> jax.Array:
     """mel (B, n_mels, T) -> audio features (B, min(T//2, 1500), D).
 
