@@ -612,6 +612,17 @@ def _make_decode_program(
         n_batch = init_tokens.shape[0]  # B * G
         init_len = init_tokens.shape[1]
 
+        # cast weights to the compute dtype ONCE, outside the decode loop —
+        # otherwise each while-loop step re-reads fp32 master weights from
+        # HBM and converts them (the loop body's casts are not hoisted)
+        if dtype != jnp.float32:
+            params = jax.tree.map(
+                lambda x: x.astype(dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                params,
+            )
+
         cache = init_cache(
             params, dims, audio_features,
             xt=xt if use_xt else None, max_len=max_len, dtype=dtype,
