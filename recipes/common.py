@@ -61,6 +61,46 @@ def build_source(spec: str, split: str, cfg: TrainConfig):
 def build_loader(cfg: TrainConfig, split: str, tokenizer, *, training: bool,
                  translations: bool = False, prompts: bool = False):
     source = build_source(str(cfg.extras.get("dataset", "synthetic")), split, cfg)
+
+    # attach translation conditioning text (trans.txt trees / CSVs) and
+    # optionally substitute pseudo-label training text
+    # (reference transkd-asr_librispeech.py:103-146, flamingo_amis.yaml:37)
+    from whisper_flamingo_tpu.data.translations import (
+        CsvLookup,
+        TranslatedSource,
+        build_lookups,
+    )
+
+    csv_key = cfg.translation_csv_train if training else cfg.translation_csv_eval
+    lookups = build_lookups(
+        cfg.translation_base_dirs, [csv_key] if csv_key else []
+    )
+    if lookups:
+        source = TranslatedSource(
+            source, lookups,
+            drop_missing=bool(cfg.extras.get("drop_missing_translations", False)),
+        )
+    if training and cfg.use_pseudo_labels and cfg.pseudo_csv_path_train:
+        pseudo = CsvLookup(cfg.pseudo_csv_path_train, value_column="pseudo_text")
+
+        class _PseudoSource:
+            def __init__(self, base):
+                self.base = base
+
+            def __len__(self):
+                return len(self.base)
+
+            def lengths(self):
+                return self.base.lengths()
+
+            def __getitem__(self, idx):
+                ex = self.base[idx]
+                replacement = pseudo(ex.id)
+                if replacement:
+                    ex.text = replacement
+                return ex
+
+        source = _PseudoSource(source)
     noise_wavs = []
     noise_fn = cfg.noise_fn if training else cfg.noise_fn_val
     if noise_fn and os.path.exists(noise_fn):

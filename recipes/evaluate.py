@@ -79,15 +79,23 @@ def main():
             refs.append(normalizer(ref))
     wall = time.time() - t0
     wer, cer = wer_cer(hyps, refs)
-    print(
-        {
-            "split": split,
-            "n_utts": len(hyps),
-            "wer": round(wer, 4),
-            "cer": round(cer, 4),
-            "rtf": round(audio_seconds / max(wall, 1e-9), 2),
-        }
-    )
+    out = {
+        "split": split,
+        "n_utts": len(hyps),
+        "wer": round(wer, 4),
+        "cer": round(cer, 4),
+        "rtf": round(audio_seconds / max(wall, 1e-9), 2),
+    }
+    if cfg.extras.get("bleu"):  # En->X protocol (reference notebook cell 20)
+        try:
+            import sacrebleu
+
+            out["bleu"] = round(
+                sacrebleu.corpus_bleu(hyps, [refs]).score, 2
+            )
+        except ImportError:
+            pass
+    print(out)
 
 
 if __name__ == "__main__":

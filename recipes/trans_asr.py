@@ -55,6 +55,7 @@ def main():
         total_steps=cfg.num_train_steps,
         train_xt_projection=bool(cfg.extras.get("train_xt_projection", False)),
         max_grad_norm=cfg.max_grad_norm,
+        accumulate_steps=cfg.gradient_accumulation_steps,
     )
     step = make_ce_train_step(
         model.dims, tx, freeze_encoder=True, use_xt=True, dtype=cfg.compute_dtype

@@ -75,6 +75,7 @@ def main():
         total_steps=cfg.num_train_steps,
         trainable_mask=encoder_frozen_mask(student_params) if freeze else None,
         max_grad_norm=cfg.max_grad_norm,
+        accumulate_steps=cfg.gradient_accumulation_steps,
     )
     kd_step = make_kd_train_step(
         teacher.dims, tx,

@@ -42,6 +42,7 @@ def main():
         total_steps=cfg.num_train_steps,
         trainable_mask=encoder_frozen_mask(model.params) if freeze else None,
         max_grad_norm=cfg.max_grad_norm,
+        accumulate_steps=cfg.gradient_accumulation_steps,
     )
     step = make_ce_train_step(
         model.dims, tx, freeze_encoder=freeze, dtype=cfg.compute_dtype

@@ -85,6 +85,20 @@ class WhisperCollator:
                 value = dict(token_streams)[k]
                 batch[k] = _pad_tokens([list(f[k]) for f in features], max_len, value)
 
+        if "video" in features[0]:
+            # lip-video frames (T, H, W); 750-frame/30 s contract
+            # (reference whisper/audio.py:19 N_VIDEO_FRAMES)
+            vids = [np.asarray(f["video"]) for f in features]
+            max_t = min(max(v.shape[0] for v in vids), 750)
+            vbatch = np.zeros((len(vids), max_t, *vids[0].shape[1:]), np.float32)
+            for i, v in enumerate(vids):
+                t = min(v.shape[0], max_t)
+                vbatch[i, :t] = v[:t]
+            batch["video"] = vbatch
+            batch["video_lens"] = np.asarray(
+                [min(v.shape[0], max_t) for v in vids], np.int32
+            )
+
         for passthrough in ("wav_lens", "audio_frames", "prompt_lens"):
             if passthrough in features[0]:
                 batch[passthrough] = np.asarray(

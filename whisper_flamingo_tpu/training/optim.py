@@ -94,10 +94,12 @@ def whisper_optimizer(
     total_steps: int = 100_000,
     trainable_mask=None,
     max_grad_norm: float | None = 1.0,
+    accumulate_steps: int = 1,
 ):
     """AdamW + linear warmup/decay, with the reference's no-decay split.
 
-    ``trainable_mask`` optionally freezes subtrees (e.g. the encoder).
+    ``trainable_mask`` optionally freezes subtrees (e.g. the encoder);
+    ``accumulate_steps`` wraps the update in optax.MultiSteps.
     """
     schedule = linear_warmup_schedule(learning_rate, warmup_steps, total_steps)
     tx = optax.adamw(
@@ -112,6 +114,9 @@ def whisper_optimizer(
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
     if trainable_mask is not None:
         tx = _masked_freeze(tx, trainable_mask)
+    if accumulate_steps > 1:
+        # gradient accumulation (reference accumulate_grad_batches)
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
     return tx, schedule
 
 
@@ -125,6 +130,7 @@ def whisper_flamingo_optimizer(
     total_steps: int = 100_000,
     train_xt_projection: bool = False,
     max_grad_norm: float | None = 1.0,
+    accumulate_steps: int = 1,
 ):
     """Gated-x-attn-only AdamW (parity: utils.py:498-517 — single param
     group, weight_decay applied uniformly there)."""
@@ -134,5 +140,7 @@ def whisper_flamingo_optimizer(
     )
     if max_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
-    mask = flamingo_trainable_mask(params, train_xt_projection)
-    return _masked_freeze(tx, mask), schedule
+    tx = _masked_freeze(tx, flamingo_trainable_mask(params, train_xt_projection))
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx, schedule

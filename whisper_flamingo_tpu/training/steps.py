@@ -269,6 +269,66 @@ def _scatter_rows(dest: jax.Array, idx: jax.Array, src: jax.Array) -> jax.Array:
     return dest.at[b, idx].set(src)
 
 
+def make_av_train_step(
+    dims: ModelDimensions,
+    video_cfg,
+    tx: optax.GradientTransformation,
+    *,
+    prob_av: float = 0.5,
+    prob_a: float = 0.25,
+    freeze_video: bool = True,
+    dtype=jnp.bfloat16,
+    remat: bool = True,
+) -> Callable:
+    """Audio-visual gated-x-attn training step (upstream Whisper-Flamingo
+    step 2: frozen Whisper encoder + frozen AV-HuBERT, only the gated
+    x-attn layers learn — reference README.md:178-179, AV configs).
+
+    Video features are computed inside the compiled step; modality
+    dropout follows ``prob_av`` (both) / ``prob_a`` (audio only) /
+    remainder (video only) — reference model_all encoder contract
+    (SURVEY.md §2.4).
+    """
+    from ..models.avhubert import video_encoder_apply
+
+    def step(state: TrainState, video_params, batch: Dict[str, jax.Array], rng):
+        u = jax.random.uniform(rng, ())
+        drop_video = (u >= prob_av) & (u < prob_av + prob_a)
+        drop_audio = u >= prob_av + prob_a
+
+        vfeats = video_encoder_apply(
+            video_params, video_cfg, batch["video"], dtype=dtype
+        )
+        if freeze_video:
+            vfeats = jax.lax.stop_gradient(vfeats)
+        vfeats = jnp.where(drop_video, 0.0, vfeats)
+
+        def loss_fn(params):
+            feats = encoder_apply(
+                params, dims, batch["input_ids"], dtype=dtype, remat=remat
+            )
+            feats = jax.lax.stop_gradient(feats)  # frozen Whisper encoder
+            feats = jnp.where(drop_audio, 0.0, feats)
+            logits, _ = decoder_apply(
+                params,
+                dims,
+                batch["dec_input_ids"],
+                feats,
+                xt=vfeats[None],  # one conditioning stream: the video
+                dtype=dtype,
+                remat=remat,
+            )
+            return ce_loss(logits, batch["labels"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, {"loss": loss}
+
+    return jax.jit(step)
+
+
 def make_eval_step(
     dims: ModelDimensions,
     *,
