@@ -1,0 +1,107 @@
+"""Audio-visual decode CLI — the deleted upstream ``whisper_decode_video.py``
+contract (reference README.md:130-154):
+
+  python recipes/decode_av.py --lang en --model-type large-v2 \
+      --modalities avsr --use_av_hubert_encoder 1 --av_fusion separate \
+      --checkpoint-path ckpt.pt --av-hubert-ckpt avhubert.pt \
+      --beam-size 15 --noise-snr 1000 --manifest data/test.tsv
+
+Modalities: ``asr`` (audio only, test_a), ``vsr`` (video only, test_v),
+``avsr`` (both). Outputs hypothesis/reference files + WER.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import whisper_flamingo_tpu as whisper
+from whisper_flamingo_tpu.audio import pad_or_trim
+from whisper_flamingo_tpu.metrics import wer_cer
+from whisper_flamingo_tpu.models.avhubert import (
+    VIDEO_ENCODER_CONFIGS,
+    AVWhisper,
+    init_video_encoder,
+    load_avhubert_torch,
+)
+from whisper_flamingo_tpu.normalizers import BasicTextNormalizer
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--lang", default="en")
+    parser.add_argument("--model-type", default="large-v2")
+    parser.add_argument("--modalities", default="avsr", choices=["asr", "vsr", "avsr"])
+    parser.add_argument("--use_av_hubert_encoder", type=int, default=1)
+    parser.add_argument("--av_fusion", default="separate", choices=["separate"])
+    parser.add_argument("--checkpoint-path", default="")
+    parser.add_argument("--av-hubert-ckpt", default="")
+    parser.add_argument("--beam-size", type=int, default=1)
+    parser.add_argument("--noise-snr", type=int, default=1000)
+    parser.add_argument("--manifest", required=True,
+                        help="TSV: id, wav_path, text [, video_path]")
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--decode-dir", default="decode_out")
+    args = parser.parse_args()
+
+    vcfg = VIDEO_ENCODER_CONFIGS["large" if "large" in args.model_type else "base"]
+    model = whisper.load_model(
+        args.checkpoint_path or args.model_type,
+        add_gated_x_attn=1, num_langs=1, bert_dim=vcfg.embed_dim,
+    )
+    if args.av_hubert_ckpt:
+        import torch
+
+        state = torch.load(args.av_hubert_ckpt, map_location="cpu", weights_only=False)
+        video_params = load_avhubert_torch(state.get("model", state), vcfg)
+    else:
+        video_params = init_video_encoder(__import__("jax").random.PRNGKey(0), vcfg)
+    av = AVWhisper(whisper=model, video_params=video_params, video_cfg=vcfg)
+
+    from whisper_flamingo_tpu.data.dataset import ManifestAsrSource
+
+    source = ManifestAsrSource(args.manifest)
+    normalizer = BasicTextNormalizer(remove_diacritics=True)
+    options = whisper.DecodingOptions(
+        language=args.lang, beam_size=args.beam_size if args.beam_size > 1 else None,
+        without_timestamps=True,
+    )
+
+    os.makedirs(args.decode_dir, exist_ok=True)
+    hyps, refs = [], []
+    for start in range(0, len(source), args.batch_size):
+        batch = [source[i] for i in range(start, min(start + args.batch_size, len(source)))]
+        mels = np.stack([
+            np.asarray(whisper.log_mel_spectrogram(pad_or_trim(ex.audio)))
+            for ex in batch
+        ])
+        video = None
+        if args.modalities != "asr":
+            vids = [np.load(source.rows[start + i]["video_path"])
+                    for i in range(len(batch))]
+            max_t = max(v.shape[0] for v in vids)
+            video = np.zeros((len(vids), max_t, *vids[0].shape[1:]), np.float32)
+            for i, v in enumerate(vids):
+                video[i, : v.shape[0]] = v
+        results = av.decode(
+            mels, options, video=video,
+            test_a=args.modalities == "asr", test_v=args.modalities == "vsr",
+        )
+        for ex, r in zip(batch, results):
+            hyps.append(normalizer(r.text))
+            refs.append(normalizer(ex.text))
+
+    with open(os.path.join(args.decode_dir, "hypo.txt"), "w") as f:
+        f.write("\n".join(hyps))
+    with open(os.path.join(args.decode_dir, "ref.txt"), "w") as f:
+        f.write("\n".join(refs))
+    wer, cer = wer_cer(hyps, refs)
+    print({"modalities": args.modalities, "snr": args.noise_snr,
+           "wer": round(wer, 4), "cer": round(cer, 4), "n": len(hyps)})
+
+
+if __name__ == "__main__":
+    main()

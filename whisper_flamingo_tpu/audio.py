@@ -197,27 +197,56 @@ def _stft_basis(n_fft: int = N_FFT) -> tuple[np.ndarray, np.ndarray]:
     return cos_b, sin_b
 
 
+@lru_cache(maxsize=None)
+def _stft_basis_split() -> tuple:
+    """The windowed DFT bases split at hop boundaries, zero-padded to HOP
+    multiples, so framing becomes reshapes instead of a gather:
+
+    ``frames @ basis == sum_k chunk_k @ basis[k*HOP:(k+1)*HOP]`` where
+    ``chunk_k = audio[k*HOP:].reshape(n_frames, HOP)``. N_FFT=400 spans
+    2.5 hops; the third basis slice is zero-padded from 80 to 160 rows so
+    no activation slicing is needed (the extra FLOPs are free on the MXU).
+    """
+    cos_b, sin_b = _stft_basis()
+    n_chunks = -(-N_FFT // HOP_LENGTH)  # 3
+    splits = []
+    for k in range(n_chunks):
+        lo, hi_ = k * HOP_LENGTH, min((k + 1) * HOP_LENGTH, N_FFT)
+        c = np.zeros((HOP_LENGTH, cos_b.shape[1]), np.float32)
+        s = np.zeros((HOP_LENGTH, sin_b.shape[1]), np.float32)
+        c[: hi_ - lo] = cos_b[lo:hi_]
+        s[: hi_ - lo] = sin_b[lo:hi_]
+        splits.append((c, s))
+    return tuple(splits)
+
+
 @partial(jax.jit, static_argnames=("n_mels", "padding"))
 def _log_mel_jax(audio: jax.Array, n_mels: int, padding: int) -> jax.Array:
-    """Batched log-mel: (B, T) float32 -> (B, n_mels, T // HOP)."""
+    """Batched log-mel: (B, T) float32 -> (B, n_mels, T // HOP).
+
+    TPU-first: the overlapping STFT framing is decomposed at hop
+    boundaries into three contiguous reshapes, so the whole frontend is
+    six fp32 GEMMs (3 x cos, 3 x sin) + one mel GEMM on the MXU — no
+    (n_frames, N_FFT) frame tensor is ever materialized in HBM.
+    """
     if padding > 0:
         audio = jnp.pad(audio, ((0, 0), (0, padding)))
     n_frames = audio.shape[-1] // HOP_LENGTH  # torch.stft center=True, last frame dropped
     half = N_FFT // 2
     x = jnp.pad(audio, ((0, 0), (half, half)), mode="reflect")
 
-    # Frame extraction: (B, n_frames, N_FFT). A gather keeps this a single
-    # fused HBM read; the subsequent GEMMs run on the MXU.
-    idx = np.arange(n_frames)[:, None] * HOP_LENGTH + np.arange(N_FFT)[None, :]
-    frames = x[:, idx]
-
-    # full-f32 MXU passes: the DFT needs more than bf16 mantissa for parity
-    hi = jax.lax.Precision.HIGHEST
-    cos_b, sin_b = _stft_basis()
-    re = jnp.einsum("btn,nk->btk", frames, cos_b, precision=hi,
-                    preferred_element_type=jnp.float32)
-    im = jnp.einsum("btn,nk->btk", frames, sin_b, precision=hi,
-                    preferred_element_type=jnp.float32)
+    hi = jax.lax.Precision.HIGHEST  # DFT needs more than bf16 mantissa
+    b = audio.shape[0]
+    re = jnp.zeros((b, n_frames, 1 + N_FFT // 2), jnp.float32)
+    im = jnp.zeros_like(re)
+    for k, (cos_k, sin_k) in enumerate(_stft_basis_split()):
+        chunk = jax.lax.dynamic_slice_in_dim(
+            x, k * HOP_LENGTH, n_frames * HOP_LENGTH, axis=1
+        ).reshape(b, n_frames, HOP_LENGTH)
+        re = re + jnp.einsum("btn,nk->btk", chunk, cos_k, precision=hi,
+                             preferred_element_type=jnp.float32)
+        im = im + jnp.einsum("btn,nk->btk", chunk, sin_k, precision=hi,
+                             preferred_element_type=jnp.float32)
     power = re * re + im * im  # (B, n_frames, n_freqs)
 
     fb = jnp.asarray(mel_filters_np(n_mels))  # (n_mels, n_freqs)

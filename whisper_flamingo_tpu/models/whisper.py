@@ -232,6 +232,20 @@ def _prepare_xt(params: Params, dims: ModelDimensions, xt: jax.Array, dtype) -> 
     return xt.astype(dtype) + pe
 
 
+def embed_tokens_as_xt(params: Params, dims: ModelDimensions, tokens: jax.Array,
+                       dtype=jnp.float32) -> jax.Array:
+    """Build a conditioning stream from the decoder's own token embedding.
+
+    Covers the legacy decoder modes "keyword"/"mix" (reference
+    model_all.py:435-548), which condition gated x-attn on embedded
+    keyword tokens instead of BERT hidden states: embed (B, S) ids ->
+    (1, B, S, n_state), ready to pass as ``xt`` (positional embedding is
+    added by the xt preparation, matching the reference's PE-on-xt).
+    """
+    emb = params["decoder"]["token_embedding"][tokens].astype(dtype)
+    return emb[None]
+
+
 def init_cache(
     params: Params,
     dims: ModelDimensions,
@@ -409,13 +423,17 @@ def decoder_apply(
         new_cache = dict(cache, k=new_k, v=new_v)
 
     x = layer_norm(dec["ln"], x)
+    # tied-embedding logits: matmul in the compute dtype with an fp32 MXU
+    # accumulator/output — reference semantics (`x @ E.to(x.dtype).T`
+    # then .float(), model.py:336-338) and avoids materializing an fp32
+    # copy of the vocab embedding inside the decode loop
     logits = jnp.einsum(
         "btd,vd->btv",
-        x.astype(jnp.float32),
-        dec["token_embedding"].astype(jnp.float32),
+        x,
+        dec["token_embedding"].astype(x.dtype),
         preferred_element_type=jnp.float32,
     )
-    return logits, new_cache
+    return logits.astype(jnp.float32), new_cache
 
 
 def _gated_ff_only(p: Params, x: jax.Array) -> jax.Array:

@@ -192,6 +192,18 @@ def load_torch_checkpoint(
     return load_torch_state(state, dims, extras), dims
 
 
+def save_torch_checkpoint(params: Params, dims: ModelDimensions, path: str) -> None:
+    """Write an OpenAI-format ``.pt`` (``{dims, model_state_dict}``) so
+    checkpoints trained here load in torch-based Whisper stacks."""
+    import torch
+
+    state = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in to_torch_state_dict(params, dims).items()
+    }
+    torch.save({"dims": dims.to_dict(), "model_state_dict": state}, path)
+
+
 def to_torch_state_dict(params: Params, dims: ModelDimensions) -> Dict[str, np.ndarray]:
     """Export the pytree back to OpenAI-style torch keys (numpy values)."""
     out: Dict[str, np.ndarray] = {}
