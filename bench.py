@@ -59,7 +59,7 @@ def main() -> None:
     # warmup (compile)
     task.run(mel)
 
-    n_iters = 5
+    n_iters = 15
     t0 = time.perf_counter()
     for _ in range(n_iters):
         results = task.run(mel)

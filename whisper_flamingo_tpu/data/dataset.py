@@ -120,6 +120,36 @@ class ManifestAsrSource(AsrSource):
         )
 
 
+class JsonAsrSource(AsrSource):
+    """JSON-list source (the ML-SUPERB layout, reference
+    config/audio-text/ml-superb.yaml:36-37): a JSON array of objects with
+    audio-path and text keys."""
+
+    def __init__(self, json_path: str, audio_key: str = "wav_path",
+                 text_key: str = "text", audio_root: str = ""):
+        import json
+
+        with open(json_path) as f:
+            data = json.load(f)
+        self.rows = list(data.values()) if isinstance(data, dict) else list(data)
+        self.audio_key = audio_key
+        self.text_key = text_key
+        self.audio_root = audio_root
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def __getitem__(self, idx: int) -> AsrExample:
+        from ..audio import load_audio
+
+        row = self.rows[idx]
+        return AsrExample(
+            audio=load_audio(os.path.join(self.audio_root, row[self.audio_key])),
+            text=row.get(self.text_key, ""),
+            id=str(row.get("id", idx)),
+        )
+
+
 class HFAsrSource(AsrSource):
     """HuggingFace datasets wrapper (librispeech_asr / google/fleurs /
     formospeech/*; reference dataset table in SURVEY.md §2.2)."""

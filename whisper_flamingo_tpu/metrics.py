@@ -62,6 +62,32 @@ def wer_cer(hypo: List[str], ref: List[str]) -> Tuple[float, float]:
     return w_err / max(w_len, 1), c_err / max(c_len, 1)
 
 
+def fairseq_wer(hypos: List[str], refs: List[str]) -> float:
+    """The published WER protocol (reference demo notebook cell 20):
+    fairseq ``WerScorer`` with the sacrebleu 13a tokenizer, punctuation
+    removed, lowercased."""
+    import string
+
+    try:
+        from sacrebleu.tokenizers.tokenizer_13a import Tokenizer13a
+
+        tok = Tokenizer13a()
+    except ImportError:  # degrade to whitespace tokenization
+        tok = lambda s: s  # noqa: E731
+
+    table = str.maketrans("", "", string.punctuation)
+
+    def prep(s: str) -> List[str]:
+        return tok(s.translate(table).lower()).split()
+
+    err, total = 0, 0
+    for h, r in zip(hypos, refs):
+        h_words, r_words = prep(h), prep(r)
+        err += edit_distance(h_words, r_words)
+        total += len(r_words)
+    return err / max(total, 1)
+
+
 def token_accuracy(
     pred_tokens: np.ndarray, labels: np.ndarray, eot: int, label_pad: int = -100
 ) -> float:
