@@ -56,6 +56,18 @@ def test_dtw_matches_reference_numba_free():
     np.testing.assert_array_equal(got, expected)
 
 
+def test_dtw_pallas_kernel_interpret():
+    """The Pallas wavefront kernel (interpret mode on CPU) matches the DP."""
+    from whisper_flamingo_tpu.ops.dtw import backtrace_np
+    from whisper_flamingo_tpu.ops.dtw_pallas import dtw_trace_pallas
+
+    rng = np.random.default_rng(5)
+    for shape in [(12, 30), (45, 90), (70, 140)]:
+        x = rng.standard_normal(shape).astype(np.float32)
+        got = backtrace_np(dtw_trace_pallas(x, interpret=True))
+        np.testing.assert_array_equal(got, dtw_np(x))
+
+
 def test_dtw_path_properties():
     rng = np.random.default_rng(3)
     x = rng.standard_normal((30, 100)).astype(np.float32)

@@ -138,11 +138,23 @@ def dtw_np(x: np.ndarray) -> np.ndarray:
 
 
 def dtw(x) -> np.ndarray:
-    """Monotonic alignment path for a (N_text, M_frames) cost matrix."""
+    """Monotonic alignment path for a (N_text, M_frames) cost matrix.
+
+    Dispatch: tiny inputs -> numpy DP; TPU -> the hand-written Pallas
+    wavefront kernel (ops/dtw_pallas.py); otherwise the lax.scan
+    wavefront. All three produce identical paths (tested).
+    """
     x = np.asarray(x, np.float32)
     if min(x.shape) == 0:
         return np.zeros((2, 0), np.int64)
     if x.size <= 64 * 64:
         return dtw_np(x)
+    if jax.devices()[0].platform == "tpu":
+        try:
+            from .dtw_pallas import dtw_trace_pallas
+
+            return backtrace_np(dtw_trace_pallas(x))
+        except Exception:  # pragma: no cover - fall back to the scan path
+            pass
     _, trace = dtw_costs_jax(x)
     return backtrace_np(trace)
