@@ -1,0 +1,85 @@
+"""Batch transcription service for production serving.
+
+The reference had no serving story (decode was a per-file CLI / notebook
+loop). This module provides the deployment-shaped wrapper around the
+compiled decode programs:
+
+- :class:`BatchTranscriber` — fixed-batch compiled decoding with request
+  padding: callers submit arbitrary numbers of utterances; the service
+  pads to one of a small set of batch sizes (compile-cache bounded),
+  decodes as a single XLA program per batch, and unpads.
+- :func:`BatchTranscriber.transcribe_files` — long-form path over files.
+
+Throughput scales with the batch size (the 30 s window is fixed-shape);
+multi-chip serving runs one replica per chip or shards the batch over a
+data mesh (tested in tests/test_sharded_decode.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .audio import N_SAMPLES, load_audio, log_mel_spectrogram, pad_or_trim
+from .decoding import DecodingOptions, DecodingResult, DecodingTask
+
+
+@dataclass
+class BatchTranscriber:
+    """Compiled fixed-shape batch decoding with request padding."""
+
+    model: object
+    options: DecodingOptions = field(default_factory=lambda: DecodingOptions(
+        language="en", without_timestamps=True
+    ))
+    batch_sizes: Sequence[int] = (1, 4, 8, 16)
+
+    def __post_init__(self):
+        self._tasks = {}
+
+    def _task(self) -> DecodingTask:
+        key = (self.options,)
+        if key not in self._tasks:
+            self._tasks[key] = DecodingTask(self.model, self.options)
+        return self._tasks[key]
+
+    def _pick_batch(self, n: int) -> int:
+        for b in sorted(self.batch_sizes):
+            if n <= b:
+                return b
+        return max(self.batch_sizes)
+
+    def warmup(self) -> None:
+        """Compile all batch shapes ahead of serving traffic."""
+        for b in self.batch_sizes:
+            mel = np.zeros((b, self.model.dims.n_mels, 3000), np.float32)
+            self._task().run(mel)
+
+    def transcribe_segments(self, waveforms: Sequence[np.ndarray]) -> List[DecodingResult]:
+        """Decode a list of <=30 s waveforms; returns one result each."""
+        results: List[DecodingResult] = []
+        i = 0
+        while i < len(waveforms):
+            b = self._pick_batch(len(waveforms) - i)
+            chunk = list(waveforms[i : i + b])
+            n_real = len(chunk)
+            while len(chunk) < b:  # pad the batch with silence
+                chunk.append(np.zeros(16000, np.float32))
+            padded = np.stack([np.asarray(pad_or_trim(w, N_SAMPLES)) for w in chunk])
+            mel = log_mel_spectrogram(padded)
+            out = self._task().run(mel)
+            results.extend(out[:n_real])
+            i += n_real
+        return results
+
+    def transcribe_files(self, paths: Sequence[str], **transcribe_kwargs):
+        """Long-form transcription per file (arbitrary durations)."""
+        from .transcribe import transcribe
+
+        return [
+            transcribe(self.model, load_audio(p), language=self.options.language,
+                       **transcribe_kwargs)
+            for p in paths
+        ]
