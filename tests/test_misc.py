@@ -1,0 +1,89 @@
+"""Smaller surfaces: fairseq WER protocol, JSON source, keyword-xt helper,
+translation lookups, profiling FLOPs."""
+
+import json
+import os
+
+import jax
+import numpy as np
+
+from whisper_flamingo_tpu.metrics import fairseq_wer
+from whisper_flamingo_tpu.models.dims import MODEL_DIMS
+from whisper_flamingo_tpu.models.whisper import embed_tokens_as_xt, init_params
+from whisper_flamingo_tpu.profiling import StepTimer, model_flops, mfu
+
+
+def test_fairseq_wer_protocol():
+    # punctuation stripped + lowercased + 13a tokenized
+    assert fairseq_wer(["Hello, World!"], ["hello world"]) == 0.0
+    assert fairseq_wer(["a b c"], ["a b d"]) == 1 / 3
+    assert fairseq_wer([""], ["x y"]) == 1.0
+
+
+def test_json_source(tmp_path):
+    from whisper_flamingo_tpu.data.dataset import JsonAsrSource
+
+    rows = [{"wav_path": "a.wav", "text": "hi there", "id": "u1"}]
+    p = tmp_path / "m.json"
+    p.write_text(json.dumps(rows))
+    src = JsonAsrSource(str(p))
+    assert len(src) == 1
+    assert src.rows[0]["text"] == "hi there"
+
+
+def test_embed_tokens_as_xt():
+    dims = MODEL_DIMS["debug"]
+    params = init_params(jax.random.PRNGKey(0), dims)
+    tokens = np.array([[1, 2, 3]], np.int32)
+    xt = embed_tokens_as_xt(params, dims, tokens)
+    assert xt.shape == (1, 1, 3, dims.n_text_state)
+
+
+def test_translation_lookups(tmp_path):
+    from whisper_flamingo_tpu.data.translations import (
+        CsvLookup,
+        TransTxtTreeLookup,
+        TranslatedSource,
+        build_lookups,
+    )
+
+    # trans.txt tree
+    chapter = tmp_path / "123" / "456"
+    chapter.mkdir(parents=True)
+    (chapter / "123-456.trans.txt").write_text("123-456-0000 BONJOUR MONDE\n")
+    tree = TransTxtTreeLookup(str(tmp_path))
+    assert tree("123-456-0000") == "BONJOUR MONDE"
+    assert tree("123-456-9999") is None
+
+    # csv
+    csv_path = tmp_path / "t.csv"
+    csv_path.write_text("id,text,translation\nu1,hello,bonjour\n")
+    csv_lk = CsvLookup(str(csv_path))
+    assert csv_lk("u1") == "bonjour"
+
+    # wrapper over a source
+    from whisper_flamingo_tpu.data.dataset import SyntheticAsrSource
+
+    class IdSource(SyntheticAsrSource):
+        def __getitem__(self, idx):
+            ex = super().__getitem__(idx)
+            ex.id = "u1" if idx == 0 else f"unknown-{idx}"
+            return ex
+
+    src = TranslatedSource(IdSource(n=3), [csv_lk])
+    assert src[0].translations == ["bonjour"]
+    assert src[1].translations == [""]
+    filtered = TranslatedSource(IdSource(n=3), [csv_lk], drop_missing=True)
+    assert len(filtered) == 1
+
+
+def test_profiling_utils():
+    timer = StepTimer()
+    timer.start()
+    timer.tick(n_tokens=100)
+    timer.tick(n_tokens=100)
+    stats = timer.stats()
+    assert stats["tokens_per_sec"] > 0
+    flops = model_flops(MODEL_DIMS["small"], batch=8)
+    assert flops > 1e12
+    assert 0 < mfu(flops, "v5e") < 1e3
