@@ -13,7 +13,6 @@ import os
 import traceback
 import warnings
 
-from .models.dims import MODEL_DIMS
 from .tokenizer import LANGUAGES, TO_LANGUAGE_CODE
 from .utils import optional_float, optional_int, str2bool
 from .writers import get_writer

@@ -20,13 +20,13 @@ from __future__ import annotations
 import csv
 import os
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
 from ..audio import N_SAMPLES, log_mel_spectrogram, pad_or_trim
 from ..ops.spec_augment import PRESETS, spec_augment_np
-from ..tokenizer import Tokenizer, get_tokenizer
+from ..tokenizer import Tokenizer
 from .noise import add_noise
 
 

@@ -27,8 +27,8 @@ most ``beam*patience`` candidates) runs on host.
 from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
-from functools import cached_property, lru_cache, partial
-from typing import TYPE_CHECKING, Dict, Iterable, List, Optional, Sequence, Tuple, Union
+from functools import cached_property, lru_cache
+from typing import TYPE_CHECKING, Dict, Iterable, List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -512,16 +512,18 @@ class DecodingTask:
                 for i in range(n_audio)
             ]
 
+        # features/prompts/conditioning go in UN-repeated (batch B); the
+        # compiled program expands only the divergent per-beam state
         G = self.n_group
-        features_rep = jnp.repeat(audio_features, G, axis=0)
-        init_rep = jnp.asarray(np.repeat(init, G, axis=0))
+        init_rep = jnp.asarray(init)
         rng = jax.random.PRNGKey(self.options.seed)
 
         if xt is not None:
-            xt_rep = jnp.repeat(jnp.asarray(xt), G, axis=1)
-            out = self._compiled_xt(self.model.params, features_rep, init_rep, rng, xt_rep)
+            out = self._compiled_xt(
+                self.model.params, audio_features, init_rep, rng, jnp.asarray(xt)
+            )
         else:
-            out = self._compiled(self.model.params, features_rep, init_rep, rng)
+            out = self._compiled(self.model.params, audio_features, init_rep, rng)
 
         no_speech_probs = np.asarray(out["no_speech_probs"])[::G]
         cand_tokens, cand_scores = self._finalize(out)
@@ -609,7 +611,8 @@ def _make_decode_program(
     extra conditioning-stream operand consumed by gated x-attn."""
 
     def prefill_and_loop(params, audio_features, init_tokens, rng, xt=None):
-        n_batch = init_tokens.shape[0]  # B * G
+        n_audio = init_tokens.shape[0]  # B (un-repeated)
+        n_batch = n_audio * G  # B * G
         init_len = init_tokens.shape[1]
 
         # cast weights to the compute dtype ONCE, outside the decode loop —
@@ -623,6 +626,10 @@ def _make_decode_program(
                 params,
             )
 
+        # audio/conditioning K/V and the prefill run at batch B: prompts
+        # are identical across beams, and cross-attention K/V is shared
+        # per audio (the grouped attention reads it once per audio, not
+        # per beam — for beam 15 large this is a ~15x HBM cut)
         cache = init_cache(
             params, dims, audio_features,
             xt=xt if use_xt else None, max_len=max_len, dtype=dtype,
@@ -633,7 +640,17 @@ def _make_decode_program(
         )
         no_speech_probs = jax.nn.softmax(
             logits[:, sot_index].astype(jnp.float32), axis=-1
-        )[:, no_speech] if no_speech is not None else jnp.full((n_batch,), jnp.nan)
+        )[:, no_speech] if no_speech is not None else jnp.full((n_audio,), jnp.nan)
+        no_speech_probs = jnp.repeat(no_speech_probs, G, axis=0)
+
+        # expand only the divergent state to B*G: self K/V and tokens
+        cache = dict(
+            cache,
+            k=jnp.repeat(cache["k"], G, axis=1),
+            v=jnp.repeat(cache["v"], G, axis=1),
+        )
+        logits = jnp.repeat(logits[:, -1:], G, axis=0)
+        init_tokens = jnp.repeat(init_tokens, G, axis=0)
 
         tokens = jnp.full((n_batch, max_len + 1), eot, dtype=jnp.int32)
         tokens = jax.lax.dynamic_update_slice(tokens, init_tokens.astype(jnp.int32), (0, 0))

@@ -26,7 +26,7 @@ This module provides the TPU-native equivalent:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Optional
 
 import jax
@@ -37,7 +37,6 @@ from ..ops.attention import qkv_attention
 from .dims import ModelDimensions
 from .visual import init_visual_frontend, visual_frontend_apply
 from .whisper import (
-    ModelExtras,
     Params,
     Whisper,
     layer_norm,

@@ -22,14 +22,13 @@ model_ada is supported in the main model via
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
-from typing import Any, Dict, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 
 from ..ops.attention import qkv_attention
-from .whisper import Params, layer_norm, linear
+from .whisper import Params, linear
 
 # ---------------------------------------------------------------------------
 # ResNet1D over embeddings (model_all.py:198-223)

@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -47,7 +46,7 @@ from ..ops.attention import (
     qkv_attention,
     update_cache,
 )
-from .dims import MODEL_DIMS, ModelDimensions
+from .dims import ModelDimensions
 
 Params = Dict[str, Any]
 
@@ -113,10 +112,25 @@ def attention_block(
     return_qk: bool = False,
 ):
     """Projected MHA. ``kv_src`` selects cross-attention; ``k/v_override``
-    inject precomputed (cached) keys/values."""
+    inject precomputed (cached) keys/values.
+
+    Beam grouping: when the override K/V batch is smaller than the query
+    batch (beam search shares one audio stream across ``G`` beams), the
+    beam axis folds into the query-length axis — cross-attention has no
+    mask, so queries are independent and the shared K/V is read once per
+    audio instead of once per beam.
+    """
     q = linear(p["q"], x)
     if k_override is not None:
         k, v = k_override.astype(x.dtype), v_override.astype(x.dtype)
+        if k.shape[0] != q.shape[0] and mask is None:
+            bg, t, d = q.shape
+            b = k.shape[0]
+            g = bg // b
+            out = qkv_attention(
+                q.reshape(b, g * t, d), k, v, n_head, backend=backend
+            ).reshape(bg, t, d)
+            return linear(p["out"], out)
     else:
         src = x if kv_src is None else kv_src
         k = linear(p["k"], src)

@@ -16,7 +16,7 @@ anti-diagonal ``dtw_kernel`` (`triton_ops.py:13-40`):
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

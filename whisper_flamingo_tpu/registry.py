@@ -15,7 +15,7 @@ import hashlib
 import os
 import urllib.request
 import warnings
-from typing import List, Optional, Union
+from typing import Optional, Union
 
 import numpy as np
 

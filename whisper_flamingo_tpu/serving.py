@@ -18,7 +18,7 @@ data mesh (tested in tests/test_sharded_decode.py).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -18,7 +18,7 @@ Parity with reference `/root/reference/utils.py:474-517`:
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple
+from typing import Any
 
 import jax
 import optax

@@ -25,8 +25,7 @@ come from running the same jit under a Mesh with sharded inputs/params
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
