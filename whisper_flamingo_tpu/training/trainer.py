@@ -137,8 +137,23 @@ class Trainer:
     normalizer: Any = field(default_factory=lambda: BasicTextNormalizer(remove_diacritics=True))
 
     def __post_init__(self):
+        use_wandb = bool(self.cfg.extras.get("wandb", False))
+        if use_wandb:
+            try:  # reference-style wandb run (whisper_ft_librispeech.py:344-360)
+                import wandb
+
+                if wandb.run is None:
+                    wandb.init(
+                        project=self.cfg.train_name,
+                        name=self.cfg.train_id,
+                        config=self.cfg.to_dict(),
+                    )
+            except Exception:
+                use_wandb = False
         if self.logger is None:
-            self.logger = MetricsLogger(self.cfg.log_output_dir, self.cfg.train_id)
+            self.logger = MetricsLogger(
+                self.cfg.log_output_dir, self.cfg.train_id, use_wandb=use_wandb
+            )
         if self.checkpoints is None:
             self.checkpoints = CheckpointManager(
                 os.path.join(self.cfg.check_output_dir, self.cfg.train_id),
