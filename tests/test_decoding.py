@@ -110,6 +110,29 @@ def test_beam_patience_runs(models, mel):
     assert all(isinstance(r.text, str) for r in res)
 
 
+@pytest.mark.parametrize("patience,length_penalty", [(1.5, None), (2.0, 0.6)])
+def test_beam_patience_parity(models, mel, patience, length_penalty):
+    ref, ours = models
+    kw = dict(
+        language="en", sample_len=24, beam_size=3, patience=patience,
+        length_penalty=length_penalty, without_timestamps=True,
+    )
+    expected = _ref_decode(ref, mel, **kw)
+    got = _our_decode(ours, mel, **kw)
+    for e, g in zip(expected, got):
+        assert g.tokens == [int(t) for t in e.tokens]
+        assert np.isclose(g.avg_logprob, e.avg_logprob, atol=1e-3)
+
+
+def test_beam_with_timestamps_parity(models, mel):
+    ref, ours = models
+    kw = dict(language="en", sample_len=16, beam_size=2, without_timestamps=False)
+    expected = _ref_decode(ref, mel, **kw)
+    got = _our_decode(ours, mel, **kw)
+    for e, g in zip(expected, got):
+        assert g.tokens == [int(t) for t in e.tokens]
+
+
 def test_prompt_and_prefix(models, mel):
     ref, ours = models
     kw = dict(

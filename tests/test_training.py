@@ -120,6 +120,23 @@ def test_kd_train_step_runs():
     assert float(metrics["kd"]) >= 0
 
 
+def test_gradient_accumulation():
+    """optax.MultiSteps: params change only every k micro-steps."""
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    tx, _ = whisper_optimizer(params, 1e-3, total_steps=100, accumulate_steps=2)
+    step = make_ce_train_step(TINY, tx, dtype=jnp.float32, remat=False, donate=False)
+    state = TrainState.create(params, tx)
+    batch = _batch(np.random.default_rng(0))
+
+    before = np.asarray(params["decoder"]["ln"]["scale"])
+    state, _ = step(state, batch)  # micro-step 1: accumulate only
+    mid = np.asarray(state.params["decoder"]["ln"]["scale"])
+    np.testing.assert_allclose(mid, before)
+    state, _ = step(state, batch)  # micro-step 2: apply
+    after = np.asarray(state.params["decoder"]["ln"]["scale"])
+    assert np.abs(after - before).max() > 0
+
+
 def test_eval_step():
     params = init_params(jax.random.PRNGKey(0), TINY)
     step = make_eval_step(TINY)
