@@ -525,6 +525,10 @@ class DecodingTask:
         else:
             out = self._compiled(self.model.params, audio_features, init_rep, rng)
 
+        # one batched device->host transfer (per-field np.asarray would pay
+        # a round-trip each; device links can be high-latency)
+        out = jax.device_get(out)
+
         no_speech_probs = np.asarray(out["no_speech_probs"])[::G]
         cand_tokens, cand_scores = self._finalize(out)
 
