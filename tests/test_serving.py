@@ -26,3 +26,39 @@ def test_batch_transcriber_pads_and_unpads():
     # same audio decoded in different batch groupings gives the same text
     again = svc.transcribe_segments(waves[:1])
     assert again[0].tokens == results[0].tokens
+
+
+def test_transcribe_long_batches_windows():
+    model = load_model("debug")
+    svc = BatchTranscriber(
+        model,
+        options=DecodingOptions(
+            language="en", without_timestamps=True, sample_len=4, fp16=False
+        ),
+        batch_sizes=(2, 4),
+    )
+    rng = np.random.default_rng(1)
+    audio = rng.standard_normal(16000 * 70).astype(np.float32) * 0.05  # 3 windows
+    text = svc.transcribe_long(audio)
+    assert isinstance(text, str)
+
+
+def test_large_v3_mel128_forward():
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_flamingo_tpu.audio import log_mel_spectrogram
+    from whisper_flamingo_tpu.models.dims import ModelDimensions
+    from whisper_flamingo_tpu.models.whisper import encoder_apply, init_params
+
+    dims = ModelDimensions(
+        n_mels=128, n_audio_ctx=1500, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=1, n_vocab=51866, n_text_ctx=448, n_text_head=2,
+        n_text_state=64, n_text_layer=1,
+    )
+    params = init_params(jax.random.PRNGKey(0), dims)
+    audio = np.random.default_rng(0).standard_normal(48000).astype(np.float32)
+    mel = log_mel_spectrogram(audio, n_mels=128)
+    assert mel.shape == (128, 300)
+    feats = encoder_apply(params, dims, jnp.asarray(mel)[None])
+    assert feats.shape == (1, 150, 64)

@@ -74,8 +74,24 @@ class BatchTranscriber:
             i += n_real
         return results
 
+    def transcribe_long(self, audio: np.ndarray) -> str:
+        """Long audio as ONE decode batch: split into 30 s windows and
+        decode them together (valid when windows are independent, i.e.
+        no prompt chaining — the ``condition_on_previous_text=False``
+        regime). For an hour of audio this is one compiled decode of
+        batch 120 instead of 120 sequential window decodes."""
+        audio = np.asarray(audio, np.float32)
+        n_windows = max(1, -(-len(audio) // N_SAMPLES))
+        windows = [
+            audio[i * N_SAMPLES : (i + 1) * N_SAMPLES] for i in range(n_windows)
+        ]
+        results = self.transcribe_segments(windows)
+        return "".join(r.text if r.text.startswith(" ") else " " + r.text
+                       for r in results).strip()
+
     def transcribe_files(self, paths: Sequence[str], **transcribe_kwargs):
-        """Long-form transcription per file (arbitrary durations)."""
+        """Long-form transcription per file (arbitrary durations), with the
+        full sequential driver (prompt chaining, timestamp segmentation)."""
         from .transcribe import transcribe
 
         return [
