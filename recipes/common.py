@@ -106,12 +106,17 @@ def build_loader(cfg: TrainConfig, split: str, tokenizer, *, training: bool,
     if noise_fn and os.path.exists(noise_fn):
         with open(noise_fn) as f:  # tsv of noise wav paths (reference utils.py:30)
             noise_wavs = [line.split("\t")[0].strip() for line in f if line.strip()]
+    # eval-time noise (the 0 dB babble protocol) via noise_prob_eval;
+    # snr >= 1000 means effectively clean (reference --noise-snr 1000)
+    eval_noise_prob = float(cfg.extras.get("noise_prob_eval", 0.0))
+    if cfg.noise_snr_eval >= 1000:
+        eval_noise_prob = 0.0
     ds = SpeechDataset(
         source=source,
         tokenizer=tokenizer,
         audio_max_length=cfg.audio_max_length,
         spec_augment=cfg.spec_augment if training else "",
-        noise_prob=cfg.noise_prob if training else 0.0,
+        noise_prob=cfg.noise_prob if training else eval_noise_prob,
         noise_wavs=noise_wavs,
         noise_snr=cfg.noise_snr_train if training else cfg.noise_snr_eval,
         translations_use=translations,

@@ -47,7 +47,7 @@ def main():
         for snr in snrs:
             cell_cfg = cfg
             cell_cfg.noise_snr_eval = snr
-            cell_cfg.noise_prob = 0.0 if snr >= 1000 else 1.0
+            cell_cfg.extras["noise_prob_eval"] = 0.0 if snr >= 1000 else 1.0
             loader = build_loader(cell_cfg, split, tokenizer, training=False,
                                   translations=use_xt)
             task = DecodingTask(

@@ -45,17 +45,39 @@ def main():
     eval_step = make_eval_step(model.dims, use_xt=use_xt, dtype=cfg.compute_dtype)
     normalizer = BasicTextNormalizer(remove_diacritics=True)
 
+    free_decode = bool(cfg.extras.get("free_decode", False))
+    if free_decode:
+        from whisper_flamingo_tpu.audio import pad_or_trim
+        from whisper_flamingo_tpu.decoding import DecodingOptions, DecodingTask
+
+        beam = cfg.extras.get("beam_size")
+        task = DecodingTask(
+            model,
+            DecodingOptions(
+                language=cfg.lang, without_timestamps=True,
+                beam_size=int(beam) if beam else None,
+                fp16="16" in str(cfg.precision),
+            ),
+        )
+
     rows = []
     for batch in loader:
         if prepare is not None:
             batch = prepare(batch)
-        _, preds = eval_step(model.params, _device_batch(batch))
-        preds = np.asarray(preds)
-        labels = np.asarray(batch["labels"])
-        for i in range(preds.shape[0]):
-            mask = labels[i] != -100
-            hyp_tokens = [int(t) for t in preds[i][mask] if t != tokenizer.eot]
-            pseudo = tokenizer.decode(hyp_tokens).strip()
+        if free_decode:
+            mel = pad_or_trim(np.asarray(batch["input_ids"]), 3000, axis=-1)
+            results = task.run(mel, xt=batch.get("xt"))
+            pseudos = [r.text.strip() for r in results]
+        else:
+            _, preds = eval_step(model.params, _device_batch(batch))
+            preds = np.asarray(preds)
+            labels = np.asarray(batch["labels"])
+            pseudos = []
+            for i in range(preds.shape[0]):
+                mask = labels[i] != -100
+                hyp_tokens = [int(t) for t in preds[i][mask] if t != tokenizer.eot]
+                pseudos.append(tokenizer.decode(hyp_tokens).strip())
+        for i, pseudo in enumerate(pseudos):
             truth = batch["text"][i]
             wer, _ = wer_cer([normalizer(pseudo)], [normalizer(truth)])
             rows.append(

@@ -221,7 +221,10 @@ class SpeechDataset:
             text = self.text_normalizer(text)
 
         wav = ex.audio
-        if self.training and self.noise_prob > 0 and rng.random() < self.noise_prob and len(self.noise_wavs):
+        # noise applies whenever configured — the reference mixes babble at
+        # EVAL time too (the 0 dB test condition, README.md:113-117); the
+        # recipe builder decides the per-split noise_prob
+        if self.noise_prob > 0 and rng.random() < self.noise_prob and len(self.noise_wavs):
             wav = add_noise(wav * 32768.0, self.noise_wavs, self.noise_snr, rng).astype(
                 np.float32
             ) / 32768.0
