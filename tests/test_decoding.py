@@ -165,3 +165,37 @@ def test_language_detection(models, mel):
     toks, probs = detect_language(ours, mel)
     assert toks.shape == (2,)
     assert len(probs) == 2 and abs(sum(probs[0].values()) - 1.0) < 1e-3
+
+
+def test_translate_task(models, mel):
+    ref, ours = models
+    kw = dict(language="de", task="translate", sample_len=8, without_timestamps=True)
+    expected = _ref_decode(ref, mel, **kw)
+    got = _our_decode(ours, mel, **kw)
+    task = DecodingTask(ours, DecodingOptions(fp16=False, **kw))
+    assert task.tokenizer.translate in task.initial_tokens
+    for e, g in zip(expected, got):
+        assert g.tokens == [int(t) for t in e.tokens]
+
+
+def test_language_autodetect_decode(models, mel):
+    _, ours = models
+    res = _our_decode(
+        ours, mel, language=None, sample_len=6, without_timestamps=True
+    )
+    assert len(res) == 2
+    from whisper_flamingo_tpu.tokenizer import LANGUAGES
+
+    assert all(r.language in LANGUAGES for r in res)
+
+
+def test_custom_suppress_tokens(models, mel):
+    ref, ours = models
+    kw = dict(
+        language="en", sample_len=8, without_timestamps=True,
+        suppress_tokens="220,50256",
+    )
+    expected = _ref_decode(ref, mel, **kw)
+    got = _our_decode(ours, mel, **kw)
+    for e, g in zip(expected, got):
+        assert g.tokens == [int(t) for t in e.tokens]
