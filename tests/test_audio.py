@@ -65,3 +65,23 @@ def test_pad_or_trim():
     assert padded[:, 100:].sum() == 0
     trimmed = pad_or_trim(x, 50)
     assert trimmed.shape == (2, 50)
+
+
+def test_log_mel_non_multiple_length():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(2)
+    audio = rng.standard_normal(16123).astype(np.float32) * 0.1
+
+    at = torch.from_numpy(audio)
+    window = torch.hann_window(N_FFT)
+    stft = torch.stft(at, N_FFT, HOP_LENGTH, window=window, return_complex=True)
+    magnitudes = stft[..., :-1].abs() ** 2
+    filters = torch.from_numpy(mel_filters_np(80))
+    mel_spec = filters @ magnitudes
+    log_spec = torch.clamp(mel_spec, min=1e-10).log10()
+    log_spec = torch.maximum(log_spec, log_spec.max() - 8.0)
+    expected = ((log_spec + 4.0) / 4.0).numpy()
+
+    ours = np.asarray(log_mel_spectrogram(audio))
+    assert ours.shape == expected.shape == (80, 16123 // 160)
+    np.testing.assert_allclose(ours, expected, atol=2e-5, rtol=1e-4)

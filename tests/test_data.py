@@ -141,3 +141,20 @@ def test_prompt_dataset():
     n_prefix = item["prompt_lens"]
     assert all(l == -100 for l in item["labels"][:n_prefix])
     assert item["labels"][n_prefix : n_prefix + 3] == item["dec_input_ids"][n_prefix + 1 : n_prefix + 4]
+
+
+def test_spec_augment_jax_on_device():
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_flamingo_tpu.ops.spec_augment import spec_augment_jax
+
+    x = jnp.ones((2, 300, 80))
+    frames = jnp.asarray([100, 250], jnp.int32)
+    out = spec_augment_jax(jax.random.PRNGKey(0), x, frames)
+    out = np.asarray(out)
+    assert out.shape == (2, 300, 80)
+    assert (out != 1).any()  # something masked
+    # time masks start within the true frames; nothing beyond
+    # frames + max_time_width is touched
+    assert (out[0, 200:] == 1).all()
