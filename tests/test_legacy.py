@@ -122,3 +122,42 @@ def test_adakws_keyword_spotting():
     logits = adakws_apply(params, jnp.asarray(audio), jnp.asarray(keywords))
     assert logits.shape == (2, 3, 2)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_sequential_fusion_cache_consistency():
+    """Cached incremental decode must equal the full forward under the
+    sequential fusion order too."""
+    import jax.numpy as jnp
+
+    from whisper_flamingo_tpu.models.whisper import init_cache
+
+    extras = ModelExtras(
+        add_gated_x_attn=1, num_langs=2, bert_dim=64, sequential_gated_x_attn=True
+    )
+    params = init_params(jax.random.PRNGKey(0), DIMS, extras)
+    g = params["decoder"]["blocks"]["gated"]
+    g["langs"]["attn_gate"] = jnp.full_like(g["langs"]["attn_gate"], 1.0)
+    g["ff_gate"] = jnp.full_like(g["ff_gate"], 1.0)
+
+    rng = np.random.default_rng(4)
+    feats = jnp.asarray(rng.standard_normal((1, 1500, 64)).astype(np.float32))
+    tokens = rng.integers(0, 1000, (1, 6)).astype(np.int32)
+    xt = jnp.asarray(rng.standard_normal((2, 1, 5, 64)).astype(np.float32))
+
+    full, _ = decoder_apply(params, DIMS, tokens, feats, xt=xt, sequential_xt=True)
+
+    cache = init_cache(params, DIMS, feats, xt=xt, max_len=8)
+    pre, cache = decoder_apply(
+        params, DIMS, tokens[:, :3], cache=cache, offset=0, sequential_xt=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(pre), np.asarray(full[:, :3]), atol=2e-4, rtol=1e-3
+    )
+    for i in range(3, 6):
+        step, cache = decoder_apply(
+            params, DIMS, tokens[:, i : i + 1], cache=cache, offset=i,
+            sequential_xt=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(step[:, 0]), np.asarray(full[:, i]), atol=3e-4, rtol=1e-3
+        )
