@@ -199,3 +199,33 @@ def test_custom_suppress_tokens(models, mel):
     got = _our_decode(ours, mel, **kw)
     for e, g in zip(expected, got):
         assert g.tokens == [int(t) for t in e.tokens]
+
+
+def test_prompt_length_bucketing(models, mel):
+    _, ours = models
+    lengths = set()
+    for n in (5, 37, 45, 70):
+        task = DecodingTask(
+            ours,
+            DecodingOptions(
+                fp16=False, language="en", without_timestamps=True,
+                prompt=list(range(100, 100 + n)), bucket_prompt_lengths=True,
+            ),
+        )
+        kept = len(task.initial_tokens) - 1 - len(
+            task.tokenizer.sot_sequence_including_notimestamps
+        )
+        assert kept == 1 << (n.bit_length() - 1)  # floor power of 2
+        lengths.add(len(task.initial_tokens))
+    assert len(lengths) <= 3  # 37/45/70 -> 32/32/64; 5 -> 4
+
+    # off by default: exact reference length
+    task = DecodingTask(
+        ours,
+        DecodingOptions(fp16=False, language="en", without_timestamps=True,
+                        prompt=list(range(100, 145))),
+    )
+    kept = len(task.initial_tokens) - 1 - len(
+        task.tokenizer.sot_sequence_including_notimestamps
+    )
+    assert kept == 45

@@ -94,6 +94,13 @@ class DecodingOptions:
     fp16: bool = True  # on TPU this selects bfloat16 compute
     seed: int = 0
 
+    # quantize the kept prompt length to powers of two so long-form
+    # transcription with prompt chaining reuses a bounded set of compiled
+    # programs (a fresh prompt length would otherwise recompile the decode
+    # program every window). Off by default for exact reference parity;
+    # transcribe() turns it on.
+    bucket_prompt_lengths: bool = False
+
 
 @dataclass(frozen=True)
 class DecodingResult:
@@ -344,11 +351,13 @@ class DecodingTask:
                 if isinstance(prompt, str)
                 else prompt
             )
-            tokens = (
-                [self.tokenizer.sot_prev]
-                + prompt_tokens[-(self.n_ctx // 2 - 1):]
-                + tokens
-            )
+            prompt_tokens = list(prompt_tokens)[-(self.n_ctx // 2 - 1):]
+            if self.options.bucket_prompt_lengths and prompt_tokens:
+                # keep the newest floor-to-power-of-2 tokens: bounds the
+                # set of compiled prefill shapes to ~log2(n_ctx) variants
+                keep = 1 << (len(prompt_tokens).bit_length() - 1)
+                prompt_tokens = prompt_tokens[-keep:]
+            tokens = [self.tokenizer.sot_prev] + prompt_tokens + tokens
         return tuple(tokens)
 
     def _get_suppress_tokens(self) -> Tuple[int, ...]:

@@ -94,7 +94,9 @@ def transcribe(
             else:
                 kwargs.pop("best_of", None)
 
-            options = DecodingOptions(**kwargs, temperature=t)
+            options = DecodingOptions(
+                **kwargs, temperature=t, bucket_prompt_lengths=True
+            )
             decode_result = model.decode(segment, options)
 
             needs_fallback = False
