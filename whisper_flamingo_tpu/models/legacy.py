@@ -200,6 +200,53 @@ def adakws_apply(params: Params, audio_features: jax.Array, keyword_tokens: jax.
     return logits.reshape(B, K, 2)
 
 
+def load_adakws_torch(state, vocab_size: int, **kw) -> Params:
+    """Import a torch AdaKWS checkpoint (reference model_tmp.py:469-510
+    loads these onto ``Whisper.keyword_spotter``). Key map: embedding,
+    lstm.weight_ih/hh_l{k}, fc_mu/fc_sigma, kw_module{1,2}.{self_attn
+    (in_proj/out_proj), fc1, fc2}, classifier."""
+    import numpy as np
+
+    def t(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+                          np.float32)
+
+    import jax
+
+    params = jax.tree.map(np.asarray, init_adakws(jax.random.PRNGKey(0), vocab_size, **kw))
+    p = {k.split("text_encoder.", 1)[-1] if "text_encoder." in k else k: v
+         for k, v in state.items()}
+    if "embedding.weight" in p:
+        params["embedding"] = t(p["embedding.weight"])
+    for k in range(len(params["lstm"])):
+        if f"lstm.weight_ih_l{k}" in p:
+            params["lstm"][k]["w_ih"] = t(p[f"lstm.weight_ih_l{k}"]).T
+            params["lstm"][k]["w_hh"] = t(p[f"lstm.weight_hh_l{k}"]).T
+            params["lstm"][k]["b"] = t(p[f"lstm.bias_ih_l{k}"]) + t(p[f"lstm.bias_hh_l{k}"])
+    for name in ("fc_mu", "fc_sigma", "classifier"):
+        if f"{name}.weight" in p:
+            params[name]["w"] = t(p[f"{name}.weight"]).T
+            params[name]["b"] = t(p[f"{name}.bias"])
+    for mod, ours in (("kw_module1", "kw1"), ("kw_module2", "kw2")):
+        key_w = f"{mod}.self_attn.in_proj_weight"
+        if key_w in p:
+            w = t(p[key_w])  # (3D, D) packed q,k,v
+            b = t(p[f"{mod}.self_attn.in_proj_bias"])
+            d = w.shape[1]
+            for i, proj in enumerate(("q", "k", "v")):
+                params[ours][proj]["w"] = w[i * d : (i + 1) * d].T
+                params[ours][proj]["b"] = b[i * d : (i + 1) * d]
+            params[ours]["out"]["w"] = t(p[f"{mod}.self_attn.out_proj.weight"]).T
+            params[ours]["out"]["b"] = t(p[f"{mod}.self_attn.out_proj.bias"])
+        for fc in ("fc1", "fc2"):
+            if f"{mod}.{fc}.weight" in p:
+                params[ours][fc]["w"] = t(p[f"{mod}.{fc}.weight"]).T
+                params[ours][fc]["b"] = t(p[f"{mod}.{fc}.bias"])
+    import jax.numpy as jnp
+
+    return jax.tree.map(jnp.asarray, params)
+
+
 def init_adakws(key, vocab_size: int, d_model: int = 768,
                 embed_dim: int = 128, hidden_dim: int = 256,
                 num_lstm_layers: int = 4, dim_ff: int = 2048) -> Params:
