@@ -125,7 +125,12 @@ def build_loader(cfg: TrainConfig, split: str, tokenizer, *, training: bool,
         seed=cfg.seed,
         training=training,
     )
-    sampler = SortedBatchSampler(batch_size=cfg.batch_size, shapes=ds.mel_lengths())
+    # under a mesh the global batch must divide the data axis: use exact
+    # fixed-size batches (drop ragged remainders)
+    drop_last = cfg.num_devices * cfg.tp_size > 1
+    sampler = SortedBatchSampler(
+        batch_size=cfg.batch_size, shapes=ds.mel_lengths(), drop_last=drop_last
+    )
     if training:
         sampler = ShuffledBatchSampler(sampler, seed=cfg.seed)
     if cfg.num_devices > 1 and "process_index" in cfg.extras:
@@ -133,6 +138,20 @@ def build_loader(cfg: TrainConfig, split: str, tokenizer, *, training: bool,
             sampler, cfg.num_devices, int(cfg.extras["process_index"])
         )
     return DataLoader(ds, sampler, WhisperCollator())
+
+
+def setup_mesh(cfg: TrainConfig):
+    """Build the (data, model) mesh when the config asks for parallelism.
+
+    ``num_devices`` x ``tp_size`` must match the available devices
+    (reference num_devices semantics, whisper_ft_librispeech.py:362-377 —
+    but GSPMD shardings instead of DDP)."""
+    total = cfg.num_devices * cfg.tp_size
+    if total <= 1:
+        return None
+    from whisper_flamingo_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(cfg.num_devices, cfg.tp_size)
 
 
 def build_model(cfg: TrainConfig, *, gated: bool = None):
@@ -197,4 +216,6 @@ def load_config(argv=None) -> TrainConfig:
     cfg = TrainConfig.from_yaml(args.config, **overrides)
     if cfg.extras.get("platform"):  # e.g. smoke configs force CPU
         jax.config.update("jax_platforms", str(cfg.extras["platform"]))
+    if cfg.extras.get("cpu_devices"):  # virtual device count for CPU meshes
+        jax.config.update("jax_num_cpu_devices", int(cfg.extras["cpu_devices"]))
     return cfg

@@ -1,8 +1,13 @@
+import jax
+
 """Audio-only / prompted Whisper fine-tuning (reference families A and B:
 `whisper_ft_librispeech.py`, `whisper_ft_taigi.py`, `whisper_ft_ml-superb.py`,
 `whisper_ft_kloka_*`, `whisper_prompt_*`).
 
 Run: python recipes/whisper_ft.py <config.yaml> [key=value ...]
+
+Set ``num_devices`` (data axis) and ``tp_size`` (model axis) for mesh
+parallelism — the same compiled step runs sharded via GSPMD.
 
 Prompt mode (``use_prompt: true``): prompt tokens are spliced as
 ``[sot_prev] + prompt`` with the prompt region label-masked, and the
@@ -14,6 +19,7 @@ from common import (
     build_loader,
     build_model,
     load_config,
+    setup_mesh,
 )
 
 from whisper_flamingo_tpu.tokenizer import get_tokenizer
@@ -47,12 +53,23 @@ def main():
     step = make_ce_train_step(
         model.dims, tx, freeze_encoder=freeze, dtype=cfg.compute_dtype
     )
+    mesh = setup_mesh(cfg)
     trainer = Trainer(
         cfg=cfg, dims=model.dims, train_step=step,
         eval_step=make_eval_step(model.dims, dtype=cfg.compute_dtype),
+        mesh=mesh,
     )
-    state = trainer.maybe_resume(TrainState.create(model.params, tx))
-    trainer.fit(state, train_loader, val_loaders={"val": val_loader})
+    state = trainer.shard_state(
+        trainer.maybe_resume(TrainState.create(model.params, tx))
+    )
+    ctx = jax.set_mesh(mesh) if mesh is not None else None
+    try:
+        if ctx is not None:
+            ctx.__enter__()
+        trainer.fit(state, train_loader, val_loaders={"val": val_loader})
+    finally:
+        if ctx is not None:
+            ctx.__exit__(None, None, None)
 
 
 if __name__ == "__main__":

@@ -132,6 +132,7 @@ class Trainer:
     train_step: Callable  # (state, batch) -> (state, metrics)
     eval_step: Callable  # (params, batch) -> (loss, pred_tokens)
     prepare_batch: Optional[Callable] = None  # host hook (e.g. BERT xt)
+    mesh: Any = None  # optional (data, model) mesh: batches/params shard
     logger: Optional[MetricsLogger] = None
     checkpoints: Optional[CheckpointManager] = None
     normalizer: Any = field(default_factory=lambda: BasicTextNormalizer(remove_diacritics=True))
@@ -182,10 +183,13 @@ class Trainer:
                     break
                 if self.prepare_batch is not None:
                     batch = self.prepare_batch(batch)
-                loss, preds = self.eval_step(params, _device_batch(batch))
+                loss, preds = self.eval_step(
+                    params, _device_batch(batch, self.mesh)
+                )
                 losses.append(float(loss))
                 labels = np.asarray(batch["labels"])
-                preds = np.asarray(preds)
+                # drop rows added for mesh-divisibility padding
+                preds = np.asarray(preds)[: labels.shape[0]]
                 accs.append(
                     token_accuracy(preds, labels, eot=self.tokenizer.eot)
                 )
@@ -236,7 +240,9 @@ class Trainer:
             if self.prepare_batch is not None:
                 batch = self.prepare_batch(batch)
             window_tokens += int(np.prod(np.shape(batch["dec_input_ids"])))
-            state, metrics = self.train_step(state, _device_batch(batch))
+            state, metrics = self.train_step(
+                state, _device_batch(batch, self.mesh)
+            )
             step = int(state.step)
             if step % log_every == 0:
                 dt = time.time() - t0
@@ -254,6 +260,18 @@ class Trainer:
                 self.checkpoints.save(state, vmetrics, step)
         return state
 
+    def shard_state(self, state: TrainState) -> TrainState:
+        """Place params/opt state onto the mesh per the TP rules."""
+        if self.mesh is None:
+            return state
+        from ..parallel.mesh import shard_params
+
+        return TrainState(
+            params=shard_params(state.params, self.mesh),
+            opt_state=jax.device_put(state.opt_state),
+            step=state.step,
+        )
+
     def maybe_resume(self, state: TrainState) -> TrainState:
         """Resume from ``last`` if configured (reference :381-384)."""
         if not self.cfg.resume_training:
@@ -269,13 +287,33 @@ class Trainer:
         )
 
 
-def _device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
-    """Drop host-only fields (strings) before feeding the compiled step."""
-    return {
+def _device_batch(batch: Dict[str, Any], mesh=None) -> Dict[str, Any]:
+    """Drop host-only fields (strings) before feeding the compiled step;
+    shard array fields over the data axis when a mesh is active."""
+    arrays = {
         k: v
         for k, v in batch.items()
         if not isinstance(v, (list, tuple, str))
     }
+    if mesh is not None:
+        from ..parallel.mesh import DATA_AXIS, shard_batch
+
+        d = mesh.shape[DATA_AXIS]
+        lead = next(
+            (np.shape(v)[0] for v in arrays.values() if np.ndim(v) >= 1), 0
+        )
+        if lead % d != 0:
+            # ragged final batch: repeat the last row up to divisibility
+            # (tiny weighting skew on one batch; alternative is dropping it)
+            pad = d - lead % d
+            arrays = {
+                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                if np.ndim(v) >= 1 and np.shape(v)[0] == lead
+                else v
+                for k, v in arrays.items()
+            }
+        arrays = shard_batch(arrays, mesh)
+    return arrays
 
 
 def _cycle(loader: Iterable):
