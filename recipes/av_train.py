@@ -96,8 +96,9 @@ def main():
     trainer = Trainer(
         cfg=cfg, dims=model.dims, train_step=step,
         eval_step=make_eval_step(model.dims, dtype=cfg.compute_dtype),
+        mesh=setup_mesh(cfg),
     )
-    state = trainer.maybe_resume(TrainState.create(model.params, tx))
+    state = trainer.shard_state(trainer.maybe_resume(TrainState.create(model.params, tx)))
     trainer.fit(state, train_loader, val_loaders={"val": val_loader})
 
 

@@ -85,8 +85,9 @@ def main():
     trainer = Trainer(
         cfg=cfg, dims=teacher.dims, train_step=step,
         eval_step=make_eval_step(teacher.dims, dtype=cfg.compute_dtype),
+        mesh=setup_mesh(cfg),
     )
-    state = trainer.maybe_resume(TrainState.create(student_params, tx))
+    state = trainer.shard_state(trainer.maybe_resume(TrainState.create(student_params, tx)))
     trainer.fit(state, train_loader, val_loaders={"val": val_loader})
 
 

@@ -13,6 +13,7 @@ conditioning text (reference trans-asr_oracle.py:118-119).
 """
 
 from common import (
+    setup_mesh,
     build_conditioner,
     build_loader,
     build_model,
@@ -64,8 +65,9 @@ def main():
         cfg=cfg, dims=model.dims, train_step=step,
         eval_step=make_eval_step(model.dims, use_xt=True, dtype=cfg.compute_dtype),
         prepare_batch=prepare,
+        mesh=setup_mesh(cfg),
     )
-    state = trainer.maybe_resume(TrainState.create(model.params, tx))
+    state = trainer.shard_state(trainer.maybe_resume(TrainState.create(model.params, tx)))
     trainer.fit(state, train_loader, val_loaders={"val": val_loader})
 
 

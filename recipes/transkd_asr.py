@@ -14,6 +14,7 @@ label masking; optional frozen student encoder + teacher feature sharing.
 import jax
 
 from common import (
+    setup_mesh,
     build_conditioner,
     build_loader,
     build_model,
@@ -93,8 +94,9 @@ def main():
         cfg=cfg, dims=teacher.dims, train_step=step,
         eval_step=make_eval_step(teacher.dims, dtype=cfg.compute_dtype),
         prepare_batch=prepare,
+        mesh=setup_mesh(cfg),
     )
-    state = trainer.maybe_resume(TrainState.create(student_params, tx))
+    state = trainer.shard_state(trainer.maybe_resume(TrainState.create(student_params, tx)))
     trainer.fit(state, train_loader, val_loaders={"val": val_loader})
 
 

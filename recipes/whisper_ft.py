@@ -62,14 +62,7 @@ def main():
     state = trainer.shard_state(
         trainer.maybe_resume(TrainState.create(model.params, tx))
     )
-    ctx = jax.set_mesh(mesh) if mesh is not None else None
-    try:
-        if ctx is not None:
-            ctx.__enter__()
-        trainer.fit(state, train_loader, val_loaders={"val": val_loader})
-    finally:
-        if ctx is not None:
-            ctx.__exit__(None, None, None)
+    trainer.fit(state, train_loader, val_loaders={"val": val_loader})
 
 
 if __name__ == "__main__":

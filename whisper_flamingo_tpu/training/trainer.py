@@ -166,6 +166,11 @@ class Trainer:
 
     # -- validation --------------------------------------------------------
 
+    def _mesh_ctx(self):
+        import contextlib
+
+        return jax.set_mesh(self.mesh) if self.mesh is not None else contextlib.nullcontext()
+
     def validate(
         self, params, loaders: Dict[str, Iterable], max_batches: Optional[int] = None
     ) -> Dict[str, float]:
@@ -175,6 +180,12 @@ class Trainer:
         (`whisper_ft_librispeech.py:151-213`) — loss, post-EOT-masked
         token accuracy, WER/CER over normalized text.
         """
+        with self._mesh_ctx():
+            return self._validate(params, loaders, max_batches)
+
+    def _validate(
+        self, params, loaders: Dict[str, Iterable], max_batches: Optional[int] = None
+    ) -> Dict[str, float]:
         out: Dict[str, float] = {}
         for split, loader in loaders.items():
             losses, accs, hyps, refs = [], [], [], []
@@ -223,13 +234,28 @@ class Trainer:
         val_max_batches: Optional[int] = None,
         log_every: int = 50,
     ) -> TrainState:
+        with self._mesh_ctx():
+            return self._fit(
+                state, train_loader, val_loaders, max_steps, val_max_batches,
+                log_every,
+            )
+
+    def _fit(
+        self,
+        state: TrainState,
+        train_loader: Iterable,
+        val_loaders: Optional[Dict[str, Iterable]] = None,
+        max_steps: Optional[int] = None,
+        val_max_batches: Optional[int] = None,
+        log_every: int = 50,
+    ) -> TrainState:
         cfg = self.cfg
         max_steps = max_steps or cfg.num_train_steps
         val_every = cfg.validate_every_n_batches
 
         # validate-before-train smoke pass (reference :385-386)
         if val_loaders:
-            metrics = self.validate(state.params, val_loaders, val_max_batches)
+            metrics = self._validate(state.params, val_loaders, val_max_batches)
             self.logger.log(int(state.step), {"phase": "preval", **metrics})
 
         t0 = time.time()
@@ -255,7 +281,7 @@ class Trainer:
                 )
                 t0, window_tokens = time.time(), 0
             if val_loaders and val_every and step % val_every == 0:
-                vmetrics = self.validate(state.params, val_loaders, val_max_batches)
+                vmetrics = self._validate(state.params, val_loaders, val_max_batches)
                 self.logger.log(step, vmetrics)
                 self.checkpoints.save(state, vmetrics, step)
         return state
