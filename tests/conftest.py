@@ -57,4 +57,12 @@ def import_reference_whisper():
     import whisper  # noqa: F401
 
     assert whisper.__file__.startswith(REFERENCE_ROOT)
+    # drop the stubs again: transformers probes `triton` availability and
+    # its torch path breaks if it finds the empty stub. The reference
+    # modules keep the references they captured at import time.
+    for name in ("numba", "triton", "triton.language"):
+        mod = sys.modules.get(name)
+        if mod is not None and getattr(mod, "__spec__", None) is not None:
+            if mod.__spec__.loader is None:  # our stub
+                del sys.modules[name]
     return whisper

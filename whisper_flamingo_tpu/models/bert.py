@@ -65,15 +65,34 @@ class HFBertConditioner(TextConditioner):
     ):
         import jax
         import jax.numpy as jnp
-        from transformers import AutoConfig, AutoTokenizer, FlaxBertModel
+        from transformers import FlaxBertModel
+
+        # the Auto* lazy imports route through transformers' torch modeling
+        # machinery, which is broken in some environments / import orders;
+        # treat them as optional and fall back to the offline path
+        try:
+            from transformers import AutoConfig, AutoTokenizer
+        except Exception:  # pragma: no cover
+            AutoConfig = AutoTokenizer = None
 
         self.max_length = max_length
         self.pad_multiple = pad_multiple
         if pretrained:
+            if AutoTokenizer is None:
+                raise RuntimeError(
+                    "transformers Auto imports unavailable; cannot load a "
+                    "pretrained conditioner in this environment"
+                )
             self.tokenizer = AutoTokenizer.from_pretrained(model_name)
             self.model = FlaxBertModel.from_pretrained(model_name, from_pt=True)
         else:
-            config = AutoConfig.from_pretrained(model_name) if _cached(model_name) else None
+            config = None
+            if AutoConfig is not None and _cached(model_name):
+                try:
+                    config = AutoConfig.from_pretrained(model_name)
+                    self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+                except Exception:
+                    config = None
             if config is None:
                 from transformers import BertConfig
 
@@ -83,8 +102,6 @@ class HFBertConditioner(TextConditioner):
                     max_position_embeddings=max_length,
                 )
                 self.tokenizer = _ByteTokenizer(config.vocab_size)
-            else:
-                self.tokenizer = AutoTokenizer.from_pretrained(model_name)
             self.model = FlaxBertModel(config)
         self.dim = self.model.config.hidden_size
 

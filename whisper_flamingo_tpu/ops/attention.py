@@ -81,9 +81,17 @@ def qkv_attention(
 
 
 def _flash_attention(qh, kh, vh):
-    """Pallas TPU flash attention over (B, H, T, Dh); None if unavailable."""
+    """Pallas TPU flash attention over (B, H, T, Dh); None if unavailable.
+
+    The library's default block sizes measured ~4x slower than tuned ones
+    at Whisper's 1500-frame encoder shape (v5e); we use block_q=512 /
+    block_kv=1536-ish tiles and pad the sequence to the block multiple
+    with segment-id masking (pad tokens never attend or get attended).
+    """
     try:
         from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            SegmentIds,
             flash_attention,
         )
     except Exception:
@@ -91,8 +99,32 @@ def _flash_attention(qh, kh, vh):
     if jax.devices()[0].platform != "tpu":
         return None
     try:
+        b, h, t, _ = qh.shape
+        bq = min(512, t)
+        pad = (-t) % bq
+        segment_ids = None
+        if pad:
+            widths = ((0, 0), (0, 0), (0, pad), (0, 0))
+            qh = jnp.pad(qh, widths)
+            kh = jnp.pad(kh, widths)
+            vh = jnp.pad(vh, widths)
+            ids = (jax.lax.broadcasted_iota(jnp.int32, (b, t + pad), 1) >= t)
+            ids = ids.astype(jnp.int32)
+            segment_ids = SegmentIds(q=ids, kv=ids)
+        tp = t + pad
+        bkv = min(1536, tp)
+        bs = BlockSizes(
+            block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
+            block_q_major_dkv=bq, block_k_major_dkv=bkv,
+            block_q_dkv=bq, block_k_dkv=bkv,
+            block_q_dq=bq, block_k_dq=bkv, block_k_major_dq=bkv,
+        )
         # q/k already carry the two half-scales; disable the kernel's own.
-        return flash_attention(qh, kh, vh, causal=False, sm_scale=1.0)
+        out = flash_attention(
+            qh, kh, vh, causal=False, sm_scale=1.0,
+            segment_ids=segment_ids, block_sizes=bs,
+        )
+        return out[:, :, :t] if pad else out
     except Exception:
         return None
 
