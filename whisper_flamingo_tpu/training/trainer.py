@@ -216,6 +216,11 @@ class Trainer:
                     refs.append(self.normalizer(self.tokenizer.decode(ref_tokens)))
             if not losses:
                 continue
+            if self.cfg.extras.get("print_samples"):
+                # reference prints PRED/REF pairs during validation
+                # (whisper_ft_librispeech.py:198-202)
+                for h, r in list(zip(hyps, refs))[:4]:
+                    print(f"[{split}] PRED: {h}\n[{split}]  REF: {r}")
             wer, cer = wer_cer(hyps, refs)
             out[f"{split}/loss"] = float(np.mean(losses))
             out[f"{split}/acc"] = float(np.mean(accs))
