@@ -289,6 +289,14 @@ class Trainer:
                 vmetrics = self._validate(state.params, val_loaders, val_max_batches)
                 self.logger.log(step, vmetrics)
                 self.checkpoints.save(state, vmetrics, step)
+
+        # final validation + checkpoint (the loop may end off the val grid)
+        step = int(state.step)
+        final_metrics: Dict[str, float] = {}
+        if val_loaders:
+            final_metrics = self._validate(state.params, val_loaders, val_max_batches)
+            self.logger.log(step, {"phase": "final", **final_metrics})
+        self.checkpoints.save(state, final_metrics, step)
         return state
 
     def shard_state(self, state: TrainState) -> TrainState:
