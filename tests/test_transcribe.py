@@ -81,3 +81,30 @@ def test_writers(tmp_path):
         writer(result, "audio.wav")
         content = open(tmp_path / f"audio.{fmt}").read()
         assert check in content, (fmt, content)
+
+
+def test_srt_word_highlighting(tmp_path):
+    result = {
+        "text": "hello world",
+        "language": "en",
+        "segments": [
+            {
+                "id": 0, "seek": 0, "start": 0.0, "end": 1.5,
+                "text": " hello world", "tokens": [1, 2],
+                "temperature": 0.0, "avg_logprob": -0.1,
+                "compression_ratio": 1.0, "no_speech_prob": 0.01,
+                "words": [
+                    {"word": " hello", "start": 0.0, "end": 0.7, "probability": 0.9},
+                    {"word": " world", "start": 0.7, "end": 1.5, "probability": 0.8},
+                ],
+            }
+        ],
+    }
+    writer = get_writer("srt", str(tmp_path))
+    writer(result, "audio.wav", {"highlight_words": True})
+    content = open(tmp_path / "audio.srt").read()
+    assert "<u>" in content  # word-level karaoke highlighting
+    writer2 = get_writer("vtt", str(tmp_path))
+    writer2(result, "audio.wav", {"max_line_width": 6, "max_line_count": 1})
+    content2 = open(tmp_path / "audio.vtt").read()
+    assert content2.count("-->") >= 2  # line splitting produced cues
