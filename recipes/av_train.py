@@ -16,7 +16,7 @@ import functools
 import jax
 import numpy as np
 
-from common import build_loader, build_model, build_source, load_config
+from common import build_loader, build_model, build_source, load_config, setup_mesh
 
 from whisper_flamingo_tpu.config import TrainConfig
 from whisper_flamingo_tpu.data.dataset import SpeechDataset, SyntheticAsrSource

@@ -12,7 +12,7 @@ utils.py:259-303).
 import jax
 import numpy as np
 
-from common import build_loader, build_model, load_config
+from common import build_loader, build_model, load_config, setup_mesh
 
 from whisper_flamingo_tpu.data.dataset import SpeechDataset
 from whisper_flamingo_tpu.models.whisper import ModelExtras, init_params
