@@ -78,3 +78,67 @@ def test_trainer_fit_and_resume(tmp_path):
         np.asarray(resumed.params["decoder"]["ln"]["scale"]),
         np.asarray(state.params["decoder"]["ln"]["scale"]),
     )
+
+
+def test_resume_is_bit_identical(tmp_path):
+    """A save/restore/continue run must match an uninterrupted run
+    bit-for-bit: Adam moments, the warmup-schedule position, and the
+    MultiSteps accumulation counter all live in the checkpoint
+    (reference Lightning resume semantics, utils.py:519-655 +
+    whisper_ft_librispeech.py:381-384)."""
+    import jax.numpy as jnp
+
+    from whisper_flamingo_tpu.training.steps import make_ce_train_step
+
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    # warmup + accumulation make schedule position and mini_step matter
+    tx, _ = whisper_optimizer(
+        params, 1e-3, warmup_steps=3, total_steps=8, accumulate_steps=2
+    )
+    step_fn = make_ce_train_step(TINY, tx, dtype=jnp.float32, remat=False, donate=False)
+    batches = [b for b in _loader(tok, n=8, bs=2)]
+    assert len(batches) >= 4
+
+    def drop_host(b):
+        return {k: v for k, v in b.items() if not isinstance(v, (list, tuple, str))}
+
+    # uninterrupted: 4 steps
+    state_a = TrainState.create(params, tx)
+    for b in batches[:4]:
+        state_a, _ = step_fn(state_a, drop_host(b))
+
+    # interrupted: 2 steps -> save -> restore into a fresh state -> 2 steps
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), monitor="val/loss")
+    state_b = TrainState.create(params, tx)
+    for b in batches[:2]:
+        state_b, _ = step_fn(state_b, drop_host(b))
+    mgr.save(state_b, {"val/loss": 1.0}, int(state_b.step))
+
+    fresh = TrainState.create(init_params(jax.random.PRNGKey(7), TINY), tx)
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"), monitor="val/loss")
+    state_c = mgr2.restore_last(fresh)
+    assert state_c is not None
+    assert int(state_c.step) == int(state_b.step)
+    assert mgr2._scores, "top-k scores must survive a manager restart"
+    for b in batches[2:4]:
+        state_c, _ = step_fn(state_c, drop_host(b))
+
+    flat_a = jax.tree_util.tree_leaves_with_path(state_a.params)
+    flat_c = dict(
+        (jax.tree_util.keystr(p), l)
+        for p, l in jax.tree_util.tree_leaves_with_path(state_c.params)
+    )
+    for path, leaf_a in flat_a:
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_array_equal(
+            np.asarray(leaf_a), np.asarray(flat_c[key]), err_msg=key
+        )
+    # optimizer state (incl. Adam moments + counters) must also match
+    for (pa, la), (pc, lc) in zip(
+        jax.tree_util.tree_leaves_with_path(state_a.opt_state),
+        jax.tree_util.tree_leaves_with_path(state_c.opt_state),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(la), np.asarray(lc), err_msg=jax.tree_util.keystr(pa)
+        )

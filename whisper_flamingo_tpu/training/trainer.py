@@ -70,7 +70,15 @@ class MetricsLogger:
 
 
 class CheckpointManager:
-    """Orbax-backed top-k + last checkpointing (reference utils.py:519-655)."""
+    """Orbax-backed top-k + last checkpointing (reference utils.py:519-655).
+
+    Persists the FULL training state — params, optimizer state (Adam
+    moments, schedule/accumulation counters), and step — so a resumed run
+    continues bit-identically, matching the reference's Lightning ckpt
+    semantics (`whisper_ft_librispeech.py:381-384`, resume restores
+    optimizer + scheduler + step). Top-k scores are persisted in
+    ``last.meta.json`` so pruning survives restarts.
+    """
 
     def __init__(
         self,
@@ -88,20 +96,49 @@ class CheckpointManager:
         self.save_top_k = save_top_k
         self._ckptr = ocp.StandardCheckpointer()
         self._scores: List[tuple] = []  # (score, path)
+        meta = os.path.join(self.directory, "last.meta.json")
+        if os.path.exists(meta):  # restart: reload top-k bookkeeping
+            with open(meta) as f:
+                for score, path in json.load(f).get("scores", []):
+                    full = os.path.join(self.directory, path)
+                    if os.path.exists(full):
+                        self._scores.append((float(score), full))
 
     def _better(self, a: float, b: float) -> bool:
         return a < b if self.mode == "min" else a > b
+
+    @staticmethod
+    def _state_dict(state: TrainState) -> Dict[str, Any]:
+        return {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+
+    def _write_meta(self, step: int, metrics: Dict[str, float]) -> None:
+        with open(os.path.join(self.directory, "last.meta.json"), "w") as f:
+            json.dump(
+                {
+                    "step": step,
+                    "metrics": {k: float(v) for k, v in metrics.items()},
+                    "scores": [
+                        (s, os.path.basename(p)) for s, p in self._scores
+                    ],
+                },
+                f,
+            )
 
     def save(self, state: TrainState, metrics: Dict[str, float], step: int) -> None:
         score = float(metrics.get(self.monitor, np.nan))
         path = os.path.join(self.directory, f"step-{step:08d}")
         last = os.path.join(self.directory, "last")
-        self._ckptr.save(path, state.params, force=True)
-        self._ckptr.save(last, state.params, force=True)
+        full = self._state_dict(state)
+        self._ckptr.save(path, full, force=True)
+        self._ckptr.save(last, full, force=True)
         self._ckptr.wait_until_finished()  # saves are async; don't race exit
-        with open(os.path.join(self.directory, "last.meta.json"), "w") as f:
-            json.dump({"step": step, "metrics": {k: float(v) for k, v in metrics.items()}}, f)
         if not np.isnan(score):
+            # re-saving the same step (e.g. val-grid + final) updates in place
+            self._scores = [(s, p) for s, p in self._scores if p != path]
             self._scores.append((score, path))
             self._scores.sort(key=lambda t: t[0], reverse=(self.mode == "max"))
             while len(self._scores) > self.save_top_k:
@@ -109,18 +146,45 @@ class CheckpointManager:
                 import shutil
 
                 shutil.rmtree(worst, ignore_errors=True)
+        self._write_meta(step, metrics)
 
-    def restore_last(self, template) -> Optional[tuple]:
+    def restore_last(self, template: TrainState) -> Optional[TrainState]:
+        """Restore the full TrainState from ``last``.
+
+        ``template`` must be a freshly created state with the same
+        optimizer, supplying the pytree structure. Round-1 checkpoints
+        stored params only; those restore with a fresh opt_state and a
+        warning.
+        """
         last = os.path.join(self.directory, "last")
-        meta = os.path.join(self.directory, "last.meta.json")
         if not os.path.exists(last):
             return None
-        params = self._ckptr.restore(last, template)
-        step = 0
-        if os.path.exists(meta):
-            with open(meta) as f:
-                step = json.load(f).get("step", 0)
-        return params, step
+        try:
+            full = self._ckptr.restore(last, self._state_dict(template))
+            return TrainState(
+                params=full["params"],
+                opt_state=full["opt_state"],
+                step=jnp.asarray(full["step"], jnp.int32),
+            )
+        except (KeyError, ValueError, TypeError):
+            # legacy params-only layout: best-effort partial resume
+            import warnings
+
+            params = self._ckptr.restore(last, template.params)
+            step = 0
+            meta = os.path.join(self.directory, "last.meta.json")
+            if os.path.exists(meta):
+                with open(meta) as f:
+                    step = json.load(f).get("step", 0)
+            warnings.warn(
+                "checkpoint has params only (pre-full-state layout); "
+                "optimizer state and schedule position start fresh"
+            )
+            return TrainState(
+                params=params,
+                opt_state=template.opt_state,
+                step=jnp.asarray(step, jnp.int32),
+            )
 
 
 @dataclass
@@ -312,18 +376,15 @@ class Trainer:
         )
 
     def maybe_resume(self, state: TrainState) -> TrainState:
-        """Resume from ``last`` if configured (reference :381-384)."""
+        """Resume from ``last`` if configured (reference :381-384).
+
+        Restores params + optimizer state + step so the continuation is
+        bit-identical to an uninterrupted run (Adam moments and the
+        linear-decay schedule position carry over)."""
         if not self.cfg.resume_training:
             return state
-        restored = self.checkpoints.restore_last(state.params)
-        if restored is None:
-            return state
-        params, step = restored
-        return TrainState(
-            params=params,
-            opt_state=state.opt_state,
-            step=jnp.asarray(step, jnp.int32),
-        )
+        restored = self.checkpoints.restore_last(state)
+        return state if restored is None else restored
 
 
 def _device_batch(batch: Dict[str, Any], mesh=None) -> Dict[str, Any]:
