@@ -1,28 +1,114 @@
-"""Headline benchmark: batched greedy decode throughput on one TPU chip.
+"""Headline benchmark: Whisper ``small`` decode + train-step on one TPU chip.
 
-Measures real-time factor (seconds of audio transcribed per second of
-wall-clock) for Whisper ``small`` — the reference's most-used size — on
-batched 30 s segments: full mel frontend + encoder + 64 incremental
-KV-cached decoder steps per segment, all as compiled XLA programs.
+Measures, as compiled XLA programs on batched 30 s segments:
 
-Baseline: the rebuild's north star is >= 5x real-time per TPU v5e chip
-(BASELINE.md); ``vs_baseline`` reports RTF / 5.0.
+- greedy decode RTF (real-time factor: seconds of audio per wall second)
+  — the round-over-round continuity metric;
+- beam-15 decode RTF — the reference's published eval protocol
+  (`/root/reference/README.md:113-117`, beam 15 for reported results);
+- teacher-forced train-step time and MFU for the LibriSpeech FT recipe
+  shape (batch 8, `config/audio/librispeech.yaml`).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Honesty guard: EOT is suppressed during the decode benches so the
+incremental loop must consume the full ``sample_len`` token budget —
+an early-EOT exit under random-init weights cannot inflate RTF — and the
+result token counts are asserted. Timing relies on ``task.run``'s
+device->host fetch per iteration for synchronization (the axon tunnel's
+``block_until_ready`` is unreliable; see CLAUDE.md).
+
+Prints ONE JSON line; the headline metric keys are joined by extra
+fields (beam15_*, train_*) in the same object.
+
+Env overrides (used by tests): WF_BENCH_MODEL, WF_BENCH_ITERS,
+WF_BENCH_PLATFORM.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+
+def _decode_bench(model, mel, sample_len, beam_size, iters, eot):
+    from whisper_flamingo_tpu.decoding import DecodingOptions, DecodingTask
+
+    task = DecodingTask(
+        model,
+        DecodingOptions(
+            language="en",
+            without_timestamps=True,
+            sample_len=sample_len,
+            fp16=True,
+            beam_size=beam_size,
+            # suppress EOT: the loop must run the full sample_len budget
+            suppress_tokens=f"-1,{eot}",
+        ),
+    )
+    results = task.run(mel)  # warmup (compile)
+    for r in results:
+        assert len(r.tokens) >= sample_len, (
+            f"decode consumed only {len(r.tokens)}/{sample_len} tokens; "
+            "RTF would be inflated"
+        )
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        results = task.run(mel)  # device_get inside run syncs each iter
+    elapsed = time.perf_counter() - t0
+    for r in results:
+        assert len(r.tokens) >= sample_len
+    batch = mel.shape[0]
+    rtf = iters * batch * 30.0 / elapsed
+    tok_s = iters * batch * sample_len / elapsed
+    return rtf, tok_s
+
+
+def _train_bench(dims, params, iters):
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_flamingo_tpu.profiling import mfu, model_flops
+    from whisper_flamingo_tpu.training.optim import whisper_optimizer
+    from whisper_flamingo_tpu.training.steps import TrainState, make_ce_train_step
+
+    rng = np.random.default_rng(0)
+    batch_size, text_len = 8, 128
+    tx, _ = whisper_optimizer(params, 1e-5, total_steps=1000)
+    step = make_ce_train_step(dims, tx, dtype=jnp.bfloat16, donate=False)
+    batch = {
+        "input_ids": jnp.asarray(
+            rng.standard_normal((batch_size, 80, 3000)), jnp.float32
+        ),
+        "dec_input_ids": jnp.asarray(
+            rng.integers(0, 1000, (batch_size, text_len)), jnp.int32
+        ),
+        "labels": jnp.asarray(
+            rng.integers(0, 1000, (batch_size, text_len)), jnp.int32
+        ),
+    }
+    state = TrainState.create(params, tx)
+    state, m = step(state, batch)
+    _ = float(m["loss"])  # sync warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    _ = float(m["loss"])  # host fetch forces completion of the chain
+    dt = (time.perf_counter() - t0) / iters
+    # fwd + bwd ~= 3x forward FLOPs
+    flops = 3 * model_flops(dims, batch_size, mel_frames=3000, text_len=text_len)
+    return dt * 1000, mfu(flops / dt, "v5e")
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    platform = os.environ.get("WF_BENCH_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     # persistent compilation cache: keeps repeat bench runs out of the
     # (slow, remote) compile path
     try:
@@ -32,49 +118,47 @@ def main() -> None:
         pass
 
     from whisper_flamingo_tpu.audio import log_mel_spectrogram
-    from whisper_flamingo_tpu.decoding import DecodingOptions, DecodingTask
     from whisper_flamingo_tpu.models.dims import MODEL_DIMS
     from whisper_flamingo_tpu.models.whisper import Whisper, init_params
+    from whisper_flamingo_tpu.tokenizer import get_tokenizer
 
-    model_name = "small"
+    model_name = os.environ.get("WF_BENCH_MODEL", "small")
+    iters = int(os.environ.get("WF_BENCH_ITERS", "12"))
     batch = 8
-    sample_len = 64  # typical utterance token budget per 30 s segment
-    seconds_per_segment = 30.0
+    sample_len = 64
 
     dims = MODEL_DIMS[model_name]
-    params = init_params(jax.random.PRNGKey(0), dims)
+    params = jax.jit(lambda k: init_params(k, dims))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
     model = Whisper(dims=dims, params=params, dtype=jnp.bfloat16)
+    eot = get_tokenizer(True, language="en", task="transcribe").eot
 
     rng = np.random.default_rng(0)
     audio = rng.standard_normal((batch, 480_000)).astype(np.float32) * 0.05
     mel = log_mel_spectrogram(audio)
 
-    task = DecodingTask(
-        model,
-        DecodingOptions(
-            language="en", without_timestamps=True, sample_len=sample_len, fp16=True
-        ),
+    greedy_rtf, greedy_tok_s = _decode_bench(model, mel, sample_len, None, iters, eot)
+    print(f"greedy: rtf={greedy_rtf:.1f} tok/s={greedy_tok_s:.0f}", file=sys.stderr)
+    beam_rtf, beam_tok_s = _decode_bench(
+        model, mel, sample_len, 15, max(iters // 3, 1), eot
     )
+    print(f"beam15: rtf={beam_rtf:.1f} tok/s={beam_tok_s:.0f}", file=sys.stderr)
+    train_ms, train_mfu = _train_bench(dims, params, max(iters // 2, 2))
+    print(f"train: {train_ms:.1f} ms/step mfu={train_mfu:.3f}", file=sys.stderr)
 
-    # warmup (compile)
-    task.run(mel)
-
-    n_iters = 15
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        results = task.run(mel)
-    jax.block_until_ready(results[0].audio_features)
-    elapsed = time.perf_counter() - t0
-
-    audio_seconds = n_iters * batch * seconds_per_segment
-    rtf = audio_seconds / elapsed
     print(
         json.dumps(
             {
                 "metric": f"greedy_decode_rtf_{model_name}_b{batch}",
-                "value": round(rtf, 3),
+                "value": round(greedy_rtf, 3),
                 "unit": "x_realtime_per_chip",
-                "vs_baseline": round(rtf / 5.0, 3),
+                "vs_baseline": round(greedy_rtf / 5.0, 3),
+                "greedy_tokens_per_sec": round(greedy_tok_s, 1),
+                f"beam15_decode_rtf_{model_name}_b{batch}": round(beam_rtf, 3),
+                "beam15_tokens_per_sec": round(beam_tok_s, 1),
+                f"train_step_ms_{model_name}_b{batch}": round(train_ms, 2),
+                "train_mfu_v5e": round(train_mfu, 4),
+                "decode_budget_guard": f"full {sample_len} tokens/segment (EOT suppressed)",
             }
         )
     )
