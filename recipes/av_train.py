@@ -16,7 +16,14 @@ import functools
 import jax
 import numpy as np
 
-from common import build_loader, build_model, build_source, load_config, setup_mesh
+from common import (
+    build_loader,
+    build_model,
+    build_source,
+    load_config,
+    maybe_cast_frozen,
+    setup_mesh,
+)
 
 from whisper_flamingo_tpu.config import TrainConfig
 from whisper_flamingo_tpu.data.dataset import SpeechDataset, SyntheticAsrSource
@@ -73,6 +80,15 @@ def main():
     for loader in (train_loader, val_loader):  # upgrade to video datasets
         loader.dataset.__class__ = VideoSpeechDataset
 
+    from whisper_flamingo_tpu.training.optim import flamingo_trainable_mask
+
+    model.params = maybe_cast_frozen(
+        cfg, model.params, flamingo_trainable_mask(model.params)
+    )
+    if cfg.freeze_video_model:
+        video_params = maybe_cast_frozen(
+            cfg, video_params, jax.tree.map(lambda _: False, video_params)
+        )
     tx, _ = whisper_flamingo_optimizer(
         model.params, cfg.learning_rate,
         weight_decay=cfg.weight_decay, adam_epsilon=cfg.adam_epsilon,

@@ -43,10 +43,19 @@ def build_source(spec: str, split: str, cfg: TrainConfig):
     if spec == "synthetic" or not spec:
         n = int(cfg.extras.get("synthetic_n", 32))
         n_trans = cfg.num_langs if cfg.add_gated_x_attn else 0
+        # fixed utterance length -> one padded shape -> one XLA program
+        # (smoke configs set this to keep CI compile counts down)
+        fixed_sec = cfg.extras.get("synthetic_sec")
+        kw = (
+            {"min_sec": float(fixed_sec), "max_sec": float(fixed_sec)}
+            if fixed_sec
+            else {}
+        )
         return SyntheticAsrSource(
             n=n if split == "train" else max(n // 4, 2),
             seed=0 if split == "train" else 1,
             n_translations=n_trans,
+            **kw,
         )
     if spec.startswith("manifest:"):
         return ManifestAsrSource(spec.split(":", 1)[1].format(split=split))
@@ -172,6 +181,22 @@ def build_model(cfg: TrainConfig, *, gated: bool = None):
 
         model.params, _ = load_torch_checkpoint(cfg.pt_ckpt, model.dims, model.extras)
     return model
+
+
+def maybe_cast_frozen(cfg: TrainConfig, params, trainable_mask):
+    """Store frozen subtrees in bf16 when computing in bf16 (numerically
+    identical — weights are cast at use anyway; halves frozen-param HBM,
+    which is what fits the 2.2B-param gated large-v2 on one 16 GB v5e).
+    Disable with ``frozen_params_bf16: false``."""
+    import jax.numpy as jnp
+
+    from whisper_flamingo_tpu.training.steps import cast_frozen_bf16
+
+    if cfg.compute_dtype != jnp.bfloat16:
+        return params
+    if not cfg.extras.get("frozen_params_bf16", True):
+        return params
+    return cast_frozen_bf16(params, trainable_mask)
 
 
 def build_conditioner(cfg: TrainConfig):

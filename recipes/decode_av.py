@@ -45,9 +45,14 @@ def main():
                         help="TSV: id, wav_path, text [, video_path]")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--decode-dir", default="decode_out")
+    parser.add_argument("--video-encoder", default="",
+                        choices=["", *VIDEO_ENCODER_CONFIGS],
+                        help="override the AV-HuBERT size (default: by model-type)")
     args = parser.parse_args()
 
-    vcfg = VIDEO_ENCODER_CONFIGS["large" if "large" in args.model_type else "base"]
+    vcfg = VIDEO_ENCODER_CONFIGS[
+        args.video_encoder or ("large" if "large" in args.model_type else "base")
+    ]
     model = whisper.load_model(
         args.checkpoint_path or args.model_type,
         add_gated_x_attn=1, num_langs=1, bert_dim=vcfg.embed_dim,

@@ -65,6 +65,14 @@ def main():
     val_loader = build_loader(cfg, "validation", tokenizer, training=False)
 
     freeze = bool(cfg.freeze_encoder)
+    from common import maybe_cast_frozen
+    from whisper_flamingo_tpu.training.optim import encoder_frozen_mask as _efm
+
+    teacher.params = maybe_cast_frozen(
+        cfg, teacher.params, jax.tree.map(lambda _: False, teacher.params)
+    )
+    if freeze:
+        student_params = maybe_cast_frozen(cfg, student_params, _efm(student_params))
     tx, _ = whisper_optimizer(
         student_params, cfg.learning_rate,
         weight_decay=cfg.weight_decay, adam_epsilon=cfg.adam_epsilon,

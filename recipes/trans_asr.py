@@ -19,10 +19,14 @@ from common import (
     build_model,
     load_config,
     make_xt_prepare,
+    maybe_cast_frozen,
 )
 
 from whisper_flamingo_tpu.tokenizer import get_tokenizer
-from whisper_flamingo_tpu.training.optim import whisper_flamingo_optimizer
+from whisper_flamingo_tpu.training.optim import (
+    flamingo_trainable_mask,
+    whisper_flamingo_optimizer,
+)
 from whisper_flamingo_tpu.training.steps import TrainState, make_ce_train_step, make_eval_step
 from whisper_flamingo_tpu.training.trainer import Trainer
 
@@ -47,6 +51,11 @@ def main():
             batch["all_translations"] = [[t] * max(cfg.num_langs, 1) for t in batch["text"]]
             return base_prepare(batch)
 
+    train_xt_projection = bool(cfg.extras.get("train_xt_projection", False))
+    model.params = maybe_cast_frozen(
+        cfg, model.params,
+        flamingo_trainable_mask(model.params, train_xt_projection),
+    )
     tx, _ = whisper_flamingo_optimizer(
         model.params,
         cfg.learning_rate,
@@ -54,7 +63,7 @@ def main():
         adam_epsilon=cfg.adam_epsilon,
         warmup_steps=cfg.warmup_steps,
         total_steps=cfg.num_train_steps,
-        train_xt_projection=bool(cfg.extras.get("train_xt_projection", False)),
+        train_xt_projection=train_xt_projection,
         max_grad_norm=cfg.max_grad_norm,
         accumulate_steps=cfg.gradient_accumulation_steps,
     )

@@ -20,6 +20,7 @@ from common import (
     build_model,
     load_config,
     make_xt_prepare,
+    maybe_cast_frozen,
 )
 
 from whisper_flamingo_tpu.models.whisper import ModelExtras, init_params
@@ -67,6 +68,14 @@ def main():
     val_loader = build_loader(cfg, "validation", tokenizer, training=False, translations=True)
 
     freeze = bool(cfg.freeze_encoder)
+    # the teacher is entirely frozen; the student's encoder optionally so
+    teacher.params = maybe_cast_frozen(
+        cfg, teacher.params, jax.tree.map(lambda _: False, teacher.params)
+    )
+    if freeze:
+        student_params = maybe_cast_frozen(
+            cfg, student_params, encoder_frozen_mask(student_params)
+        )
     tx, _ = whisper_optimizer(
         student_params,
         cfg.learning_rate,

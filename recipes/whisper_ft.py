@@ -19,6 +19,7 @@ from common import (
     build_loader,
     build_model,
     load_config,
+    maybe_cast_frozen,
     setup_mesh,
 )
 
@@ -39,6 +40,10 @@ def main():
     val_loader = build_loader(cfg, "validation", tokenizer, training=False, prompts=use_prompt)
 
     freeze = use_prompt or bool(cfg.freeze_encoder)
+    if freeze:
+        model.params = maybe_cast_frozen(
+            cfg, model.params, encoder_frozen_mask(model.params)
+        )
     tx, _ = whisper_optimizer(
         model.params,
         cfg.learning_rate,

@@ -17,6 +17,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# persistent XLA compile cache: recompiles of identical programs (across
+# in-process recipe smoke cells, and across suite runs) become disk hits
+jax.config.update("jax_compilation_cache_dir", "/tmp/wf_cpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

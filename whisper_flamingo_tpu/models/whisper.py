@@ -188,6 +188,22 @@ def gated_x_attn(
 # Encoder
 # ---------------------------------------------------------------------------
 
+def _remat_wrap(fn, remat):
+    """Apply the rematerialization spec to a scan block function.
+
+    ``remat`` is False/"none" (save all activations), True/"full" (full
+    per-block recompute), or the name of a ``jax.checkpoint_policies``
+    entry ("dots" = dots_with_no_batch_dims_saveable: keep matmul outputs,
+    recompute cheap elementwise ops — the measured sweet spot on v5e, see
+    docs/performance.md)."""
+    if not remat or remat == "none":
+        return fn
+    if remat is True or remat == "full":
+        return jax.checkpoint(fn)
+    name = {"dots": "dots_with_no_batch_dims_saveable"}.get(remat, remat)
+    return jax.checkpoint(fn, policy=getattr(jax.checkpoint_policies, name))
+
+
 def encoder_apply(
     params: Params,
     dims: ModelDimensions,
@@ -195,7 +211,7 @@ def encoder_apply(
     *,
     dtype=jnp.float32,
     backend: str = "flash",  # Pallas flash attention over the 1500-frame
-    remat: bool = False,     # axis on TPU; transparent XLA fallback elsewhere
+    remat=False,             # axis on TPU; transparent XLA fallback elsewhere
 ) -> jax.Array:
     """mel (B, n_mels, T) -> audio features (B, min(T//2, 1500), D).
 
@@ -221,8 +237,7 @@ def encoder_apply(
         x = x + mlp_block(bp["mlp"], layer_norm(bp["mlp_ln"], x))
         return x, None
 
-    if remat:
-        block_fn = jax.checkpoint(block_fn)
+    block_fn = _remat_wrap(block_fn, remat)
     x, _ = jax.lax.scan(block_fn, x, enc["blocks"])
     return layer_norm(enc["ln_post"], x)
 
@@ -326,7 +341,7 @@ def decoder_apply(
     offset=0,
     dtype=jnp.float32,
     backend: str = "xla",
-    remat: bool = False,
+    remat=False,
     return_cross_qk: bool = False,
     sequential_xt: bool = False,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
@@ -390,8 +405,7 @@ def decoder_apply(
             x = x + mlp_block(bp["mlp"], layer_norm(bp["mlp_ln"], x))
             return x, qk
 
-        if remat:
-            block_fn = jax.checkpoint(block_fn)
+        block_fn = _remat_wrap(block_fn, remat)
         x, qks = jax.lax.scan(block_fn, x, dec["blocks"])
         new_cache = qks if return_cross_qk else None
     else:

@@ -100,8 +100,7 @@ def _flash_attention(qh, kh, vh):
         return None
     try:
         b, h, t, _ = qh.shape
-        bq = min(512, t)
-        pad = (-t) % bq
+        pad = (-t) % 512
         segment_ids = None
         if pad:
             widths = ((0, 0), (0, 0), (0, pad), (0, 0))
@@ -112,12 +111,18 @@ def _flash_attention(qh, kh, vh):
             ids = ids.astype(jnp.int32)
             segment_ids = SegmentIds(q=ids, kv=ids)
         tp = t + pad
-        bkv = min(1536, tp)
+        # v5e-measured at the 1500-frame encoder shape (d_head 64):
+        # forward wants q-tiles of 512 against the full K/V (in-model
+        # decode regressed ~10% with untiled q despite isolated
+        # microbenches preferring it — tunnel microbenches mislead);
+        # the dq/dkv backward passes prefer 512x512 tiles.
+        bq, bkv = min(512, tp), min(1536, tp)
+        bb = min(512, tp)
         bs = BlockSizes(
             block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
-            block_q_major_dkv=bq, block_k_major_dkv=bkv,
-            block_q_dkv=bq, block_k_dkv=bkv,
-            block_q_dq=bq, block_k_dq=bkv, block_k_major_dq=bkv,
+            block_q_major_dkv=bb, block_k_major_dkv=bb,
+            block_q_dkv=bb, block_k_dkv=bb,
+            block_q_dq=bb, block_k_dq=bb, block_k_major_dq=bb,
         )
         # q/k already carry the two half-scales; disable the kernel's own.
         out = flash_attention(

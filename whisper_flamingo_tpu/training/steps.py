@@ -53,6 +53,25 @@ class TrainState:
         )
 
 
+def cast_frozen_bf16(params: Any, trainable_mask: Any) -> Any:
+    """Store frozen parameters in bf16 (trainable masters stay fp32).
+
+    When the compute dtype is bf16, every weight is cast to bf16 at use
+    anyway (models/whisper.linear), so a bf16 master for frozen subtrees
+    is bit-identical in the forward while halving their HBM footprint —
+    this is what lets the 2.5B-param gated large-v2 (frozen Whisper +
+    trainable gated x-attn, reference README.md:96-101) train on one
+    16 GB v5e chip. Matches the reference's fp16 halving of frozen
+    encoders at inference (demo notebook cell 17).
+    """
+    return jax.tree.map(
+        lambda train, p: p if train or p.dtype != jnp.float32
+        else p.astype(jnp.bfloat16),
+        trainable_mask,
+        params,
+    )
+
+
 def ce_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Mean CE over non-ignored positions (torch CrossEntropyLoss
     ignore_index=-100 parity)."""
@@ -89,7 +108,7 @@ def make_ce_train_step(
     freeze_encoder: bool = False,
     use_xt: bool = False,
     dtype=jnp.bfloat16,
-    remat: bool = True,
+    remat=True,  # False | True/'full' | a jax.checkpoint_policies name (e.g. 'dots')
     donate: bool = True,
 ) -> Callable:
     """CE fine-tune step (families A/B/C). ``use_xt`` enables the gated
@@ -133,7 +152,7 @@ def make_kd_train_step(
     share_teacher_features: bool = False,
     teacher_uses_xt: bool = True,
     dtype=jnp.bfloat16,
-    remat: bool = True,
+    remat=True,  # False | True/'full' | a jax.checkpoint_policies name (e.g. 'dots')
 ) -> Callable:
     """TransKD distillation step (family D).
 
@@ -197,7 +216,7 @@ def make_prompt_kd_train_step(
     temperature: float = 2.0,
     freeze_student_encoder: bool = False,
     dtype=jnp.bfloat16,
-    remat: bool = True,
+    remat=True,  # False | True/'full' | a jax.checkpoint_policies name (e.g. 'dots')
 ) -> Callable:
     """Prompt-distillation step (family E): teacher consumes the prompted
     token stream, student the unprompted one; the KD loss aligns the
@@ -277,7 +296,7 @@ def make_av_train_step(
     prob_a: float = 0.25,
     freeze_video: bool = True,
     dtype=jnp.bfloat16,
-    remat: bool = True,
+    remat=True,  # False | True/'full' | a jax.checkpoint_policies name (e.g. 'dots')
 ) -> Callable:
     """Audio-visual gated-x-attn training step (upstream Whisper-Flamingo
     step 2: frozen Whisper encoder + frozen AV-HuBERT, only the gated
