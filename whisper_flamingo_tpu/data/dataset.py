@@ -150,24 +150,98 @@ class JsonAsrSource(AsrSource):
         )
 
 
+# Per-dataset field quirks from the reference scripts (SURVEY.md §2.2).
+# Keys: text_key; translation_keys (conditioning streams, in order);
+# prompt_keys (joined with "_", reference whisper_ft_kloka_crawled.py:
+# 109-112 builds prompt="language_dialect"); filter_nonempty (drop rows
+# whose field is empty, reference whisper-flamingo_amis.py:62-66 drops
+# empty-"chinese" rows); split_names (our split -> (dataset suffix, HF
+# split) — the kloka train/eval corpora are SEPARATE datasets whose HF
+# split is always "train", whisper-flamingo_amis.py:47).
+HF_DATASET_PRESETS = {
+    "google/fleurs": {"text_key": "transcription"},  # whisper_eval_fleurs.py:73
+    "formospeech/kloka_crawled_asr": {
+        "text_key": "text",
+        "translation_keys": ("chinese",),
+        "prompt_keys": ("language", "dialect"),
+        "filter_nonempty": "chinese",
+        "split_names": {
+            "train": ("_train", "train"),
+            "validation": ("_eval", "train"),
+            "test": ("_eval", "train"),
+        },
+    },
+    "formospeech/yttd_taigi_trs": {"text_key": "text"},
+}
+
+
 class HFAsrSource(AsrSource):
     """HuggingFace datasets wrapper (librispeech_asr / google/fleurs /
-    formospeech/*; reference dataset table in SURVEY.md §2.2)."""
+    formospeech/*; reference dataset table in SURVEY.md §2.2).
+
+    Reproduces the reference's dataset quirks:
+
+    - ``config`` may be a "+"-joined list of config names; each is loaded
+      separately and concatenated (kloka dialect merging,
+      `whisper-flamingo_amis.py:52-77`);
+    - rows whose ``filter_nonempty`` field is empty are dropped before
+      concatenation (empty-translation filter, same cite);
+    - per-dataset field maps via :data:`HF_DATASET_PRESETS` (fleurs
+      ``transcription``, kloka ``chinese`` translation + language_dialect
+      prompt), overridable per-instance.
+    """
 
     def __init__(
         self,
         name: str,
         split: str,
         config: Optional[str] = None,
-        text_key: str = "text",
+        text_key: Optional[str] = None,
         audio_key: str = "audio",
+        translation_keys: Optional[Sequence[str]] = None,
+        prompt_keys: Optional[Sequence[str]] = None,
+        filter_nonempty: Optional[str] = None,
         **load_kwargs,
     ):
         import datasets  # lazy; needs local cache in offline environments
 
-        self.ds = datasets.load_dataset(name, config, split=split, **load_kwargs)
-        self.text_key = text_key
+        preset = next(
+            (v for k, v in HF_DATASET_PRESETS.items() if name.startswith(k)), {}
+        )
+        self.text_key = text_key or preset.get("text_key", "text")
         self.audio_key = audio_key
+        self.translation_keys = (
+            translation_keys
+            if translation_keys is not None
+            else preset.get("translation_keys", ())
+        )
+        self.prompt_keys = (
+            prompt_keys if prompt_keys is not None else preset.get("prompt_keys", ())
+        )
+        filter_nonempty = filter_nonempty or preset.get("filter_nonempty")
+
+        split_names = preset.get("split_names")
+        if split_names and split in split_names:
+            suffix, hf_split = split_names[split]
+            name, split = name + suffix, hf_split
+
+        configs = [c.strip() for c in config.split("+")] if config else [None]
+        parts = []
+        for cfg_name in configs:
+            ds = datasets.load_dataset(name, cfg_name, split=split, **load_kwargs)
+            if filter_nonempty:
+                n0 = len(ds)
+                ds = ds.filter(
+                    lambda ex: str(ex.get(filter_nonempty, "") or "").strip() != ""
+                )
+                print(
+                    f"{name}[{cfg_name}]: {n0} rows, "
+                    f"{len(ds)} after non-empty {filter_nonempty!r} filter"
+                )
+            parts.append(ds)
+        self.ds = (
+            parts[0] if len(parts) == 1 else datasets.concatenate_datasets(parts)
+        )
 
     def __len__(self) -> int:
         return len(self.ds)
@@ -181,7 +255,11 @@ class HFAsrSource(AsrSource):
 
             wav = resample_linear(wav, audio["sampling_rate"], 16000)
         return AsrExample(
-            audio=wav, text=row[self.text_key], id=str(row.get("id", idx))
+            audio=wav,
+            text=row[self.text_key],
+            id=str(row.get("id", idx)),
+            translations=[str(row[k]) for k in self.translation_keys if k in row],
+            prompt="_".join(str(row[k]) for k in self.prompt_keys if k in row),
         )
 
 
