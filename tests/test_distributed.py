@@ -1,0 +1,112 @@
+"""True multi-PROCESS distributed smoke (VERDICT r1 §5.8: 'nothing
+multi-process has ever run').
+
+Two OS processes bootstrap through ``parallel.distributed.initialize``
+(the TPU-pod / SLURM entry, Gloo-backed on CPU), form one global
+4-device mesh (2 local devices per process), and run a real CE train
+step on the debug model with each process feeding only its local batch
+shard via ``jax.make_array_from_process_local_data``. Both processes
+must compute the identical global loss — the GSPMD gradient psum rode
+the cross-process collective.
+
+Replaces the reference's DDP evidence
+(`/root/reference/whisper_ft_librispeech.py:362-378`,
+`slurm/train_video_4gpu.sh:10-24`) with the jax.distributed equivalent.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import sys
+pid = int(sys.argv[1])
+port = sys.argv[2]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+
+from whisper_flamingo_tpu.parallel import distributed
+
+distributed.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+info = distributed.process_info()
+assert info["process_count"] == 2, info
+assert info["local_devices"] == 2, info
+assert info["global_devices"] == 4, info
+assert distributed.is_primary() == (pid == 0)
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from whisper_flamingo_tpu.models.dims import MODEL_DIMS
+from whisper_flamingo_tpu.models.whisper import init_params
+from whisper_flamingo_tpu.parallel.mesh import make_mesh, param_shardings
+from whisper_flamingo_tpu.training.optim import whisper_optimizer
+from whisper_flamingo_tpu.training.steps import TrainState, make_ce_train_step
+
+dims = MODEL_DIMS["debug"]
+mesh = make_mesh(4, 1)
+params = jax.jit(
+    lambda k: init_params(k, dims),
+    out_shardings=param_shardings(init_params(jax.random.PRNGKey(0), dims), mesh),
+)(jax.random.PRNGKey(0))
+tx, _ = whisper_optimizer(params, 1e-4, total_steps=10)
+step = make_ce_train_step(dims, tx, donate=False, remat=False)
+
+# Global batch 4, one utterance per device; this process materializes
+# only its 2 local rows (deterministic per-row content so both
+# processes agree on the global batch).
+rng = np.random.default_rng(0)
+mel_global = (rng.standard_normal((4, 80, 128)) * 0.3).astype(np.float32)
+tok_global = rng.integers(10, 400, (4, 12)).astype(np.int32)
+sh = lambda arr: jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), arr[pid * 2 : pid * 2 + 2]
+)
+batch = {
+    "input_ids": sh(mel_global),
+    "dec_input_ids": sh(tok_global),
+    "labels": sh(tok_global),
+}
+state = TrainState.create(params, tx)
+with jax.set_mesh(mesh):
+    state, metrics = step(state, batch)
+    loss = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(
+        metrics["loss"]
+    )
+print(f"RESULT pid={pid} loss={float(loss):.6f}", flush=True)
+"""
+
+
+def test_two_process_train_step(tmp_path):
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=ROOT,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+    losses = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT")]
+        assert len(lines) == 1, out
+        losses.append(float(lines[0].split("loss=")[1]))
+    # both processes see the same global loss (the psum crossed processes)
+    assert abs(losses[0] - losses[1]) < 1e-6, losses

@@ -47,6 +47,9 @@ def main():
     out["greedy_small_b8_rtf"] = decode_rtf("small", None)
     out["beam15_small_b8_rtf"] = decode_rtf("small", 15, iters=4)
     out["greedy_large_v2_b8_rtf"] = decode_rtf("large-v2", None, iters=4)
+    # The published protocol on the flagship model (VERDICT r1 #9;
+    # reference README.md:96-101,113-117 + decode wrapper :40-44).
+    out["beam15_large_v2_b8_rtf"] = decode_rtf("large-v2", 15, iters=3)
 
     dims = MODEL_DIMS["small"]
     params = jax.jit(lambda k: init_params(k, dims))(jax.random.PRNGKey(0))
