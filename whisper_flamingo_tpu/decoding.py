@@ -55,12 +55,23 @@ def _make_encode_program(dims, dtype):
 
 @lru_cache(maxsize=None)
 def _make_lang_id_program(dims, dtype):
-    """Cached jitted single-token decoder forward for language ID."""
+    """Cached jitted single-token decoder forward for language ID.
 
-    def fwd(params, features, sot_token):
+    The language-token gather, argmax, and softmax all happen on device:
+    only an (n_audio, ~100) probability matrix crosses the host link, not
+    the (n_audio, 51865) full-vocab softmax — through a high-latency
+    device tunnel that is the difference between ~6 KB and ~1.6 MB per
+    call. Masking non-language tokens to -inf then softmaxing the full
+    vocab (reference decoding.py:49-55) is mathematically identical to
+    softmaxing the gathered language logits, so parity holds exactly.
+    """
+
+    def fwd(params, features, sot_token, lang_ids):
         x = jnp.full((features.shape[0], 1), sot_token, dtype=jnp.int32)
         logits, _ = decoder_apply(params, dims, x, features, dtype=dtype)
-        return logits[:, 0]
+        lang_logits = logits[:, 0, :][:, lang_ids].astype(jnp.float32)
+        tokens = jnp.take(lang_ids, jnp.argmax(lang_logits, axis=-1))
+        return tokens, jax.nn.softmax(lang_logits, axis=-1)
 
     return jax.jit(fwd, static_argnums=(2,))
 
@@ -139,19 +150,16 @@ def detect_language(
         mel = _make_encode_program(model.dims, model.dtype)(model.params, mel)
 
     n_audio = mel.shape[0]
-    logits = _make_lang_id_program(model.dims, model.dtype)(
-        model.params, mel, tokenizer.sot
+    lang_ids = jnp.asarray(list(tokenizer.all_language_tokens), jnp.int32)
+    language_tokens, language_token_probs = jax.device_get(
+        _make_lang_id_program(model.dims, model.dtype)(
+            model.params, mel, tokenizer.sot, lang_ids
+        )
     )
-
-    mask = np.ones(logits.shape[-1], dtype=bool)
-    mask[list(tokenizer.all_language_tokens)] = False
-    logits = jnp.where(jnp.asarray(mask)[None, :], NEG_INF, logits)
-    language_tokens = jnp.argmax(logits, axis=-1)
-    language_token_probs = np.asarray(jax.nn.softmax(logits, axis=-1))
     language_probs = [
         {
             c: float(language_token_probs[i, j])
-            for j, c in zip(tokenizer.all_language_tokens, tokenizer.all_language_codes)
+            for j, c in enumerate(tokenizer.all_language_codes)
         }
         for i in range(n_audio)
     ]
