@@ -124,3 +124,67 @@ def test_add_word_timestamps_segments():
     assert "words" in segments[0]
     assert len(segments[0]["words"]) >= 1
     assert all("start" in w and "end" in w for w in segments[0]["words"])
+
+
+def test_alignment_program_matches_eager_reference_order():
+    """The fused alignment program (masked softmax over real frames,
+    reflect-into-pad before medfilt, masked z-norm over real token rows,
+    token-bucket padding) must reproduce the reference's eager order
+    (slice -> softmax -> z-norm -> medfilt; timing.py:185-210) exactly,
+    including at a partial final segment (num_frames < full)."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_flamingo_tpu.models.dims import MODEL_DIMS
+    from whisper_flamingo_tpu.models.whisper import (
+        Whisper, decoder_apply, encoder_apply, init_params,
+    )
+    from whisper_flamingo_tpu.ops.median import median_filter
+    from whisper_flamingo_tpu.timing import _alignment_program, _token_bucket
+    from whisper_flamingo_tpu.tokenizer import get_tokenizer
+
+    dims = MODEL_DIMS["debug"]
+    model = Whisper(dims=dims, params=init_params(jax.random.PRNGKey(0), dims))
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    text_tokens = tok.encode(" the quick brown fox")
+    tokens = np.array(
+        [*tok.sot_sequence, tok.no_timestamps, *text_tokens, tok.eot], np.int32
+    )
+    mel = np.random.default_rng(1).standard_normal((1, 80, 3000)).astype(np.float32)
+    num_frames = 2500  # partial segment: exercises the masked-frame path
+    nfh = num_frames // 2
+    n_sot = len(tok.sot_sequence)
+
+    # --- eager, reference order, unpadded ---
+    feats = encoder_apply(model.params, dims, jnp.asarray(mel), dtype=model.dtype)
+    logits, qks = decoder_apply(
+        model.params, dims, jnp.asarray(tokens[None]), feats,
+        dtype=model.dtype, return_cross_qk=True,
+    )
+    sampled = np.asarray(logits[0, n_sot:, : tok.eot], np.float32)
+    e = np.exp(sampled - sampled.max(-1, keepdims=True))
+    probs_ref = (e / e.sum(-1, keepdims=True))[
+        np.arange(len(text_tokens)), np.asarray(text_tokens)
+    ]
+    heads = np.argwhere(model.get_alignment_heads())
+    w = jnp.stack([qks[l, 0, h] for l, h in heads])[:, :, :nfh]
+    w = jax.nn.softmax(w.astype(jnp.float32), axis=-1)
+    mean = jnp.mean(w, axis=-2, keepdims=True)
+    std = jnp.std(w, axis=-2, keepdims=True)
+    w = median_filter((w - mean) / std, 7)
+    matrix_ref = np.asarray(jnp.mean(w, axis=0))[n_sot : len(tokens) - 1]
+
+    # --- fused program, bucket-padded ---
+    tp = _token_bucket(len(tokens))
+    tokens_p = np.pad(tokens, (0, tp - len(tokens)), constant_values=tok.eot)
+    prog = _alignment_program(dims, model.dtype, tp, n_sot, int(tok.eot), 7, len(heads))
+    text_probs, matrix = jax.device_get(prog(
+        model.params, jnp.asarray(mel), jnp.asarray(tokens_p[None]),
+        np.int32(len(tokens)), np.int32(nfh), np.float32(1.0),
+        jnp.asarray(heads[:, 0]), jnp.asarray(heads[:, 1]),
+    ))
+    got_probs = np.asarray(text_probs)[: len(text_tokens)]
+    got_matrix = np.asarray(matrix)[n_sot : len(tokens) - 1, :nfh]
+
+    np.testing.assert_allclose(got_probs, probs_ref, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(got_matrix, matrix_ref, rtol=2e-4, atol=2e-5)

@@ -42,16 +42,66 @@ class WordTiming:
     probability: float
 
 
-@lru_cache(maxsize=None)
-def _alignment_program(dims, dtype):
-    """Jitted forward returning (logits, stacked cross-attn scores)."""
+def _token_bucket(n: int) -> int:
+    """Round the token count up to a bucket so the alignment program
+    compiles once per bucket, not once per segment length."""
+    return max(32, -(-n // 32) * 32)
 
-    def fwd(params, mel, tokens):
+
+@lru_cache(maxsize=None)
+def _alignment_program(dims, dtype, tp, n_sot, eot_cut, medfilt_width, n_sel):
+    """One jitted program for the whole alignment computation.
+
+    The first cut ran only the forward on device and did the head
+    gather / softmax / z-norm / median filter as eager jnp ops — through
+    a remote-dispatch tunnel that is ~10 extra program launches per
+    segment, plus a (T, 50k) fp32 logits transfer (~6 MB at ~30 MB/s).
+    Everything now happens inside one program and only the
+    (tp,)-probabilities and (tp, Ta) cost matrix come back (<1 MB).
+
+    Shapes are static: tokens are padded to the ``tp`` bucket and the
+    true counts come in as traced scalars. Parity with the reference's
+    slice-then-filter order (timing.py:185-210) is kept by masked
+    softmax over the real ``num_frames//2`` columns, masked z-norm
+    moments over the real token rows, and reflecting the real time
+    region into the padded columns before the median filter (so the
+    filter sees exactly the reflect-padding the reference applies at the
+    segment boundary).
+    """
+
+    def fwd(params, mel, tokens, n_tokens, nfh, qk_scale, head_l, head_h):
         feats = encoder_apply(params, dims, mel, dtype=dtype)
         logits, qks = decoder_apply(
             params, dims, tokens, feats, dtype=dtype, return_cross_qk=True
         )
-        return logits, qks  # qks: (L, B, H, T, Ta)
+        # per-token probabilities (reference timing.py:178-183): row i at
+        # position n_sot+i predicts tokens[n_sot+1+i]
+        rows = logits[0, n_sot:, :eot_cut].astype(jnp.float32)
+        probs = jax.nn.softmax(rows, axis=-1)
+        targets = jnp.roll(tokens[0], -(n_sot + 1))[: tp - n_sot]
+        text_probs = jnp.take_along_axis(probs, targets[:, None], axis=1)[:, 0]
+
+        # alignment-head weights (n_sel, tp, Ta)
+        w = qks[head_l, 0, head_h].astype(jnp.float32)
+        ta = w.shape[-1]
+        col = jnp.arange(ta, dtype=jnp.int32)
+        w = jnp.where(col[None, None, :] < nfh, w * qk_scale, -jnp.inf)
+        w = jax.nn.softmax(w, axis=-1)
+        # reflect the real region into the masked zone so the median
+        # filter's boundary behavior matches filtering the sliced array
+        ridx = jnp.where(col < nfh, col, jnp.maximum(2 * nfh - 2 - col, 0))
+        w = jnp.take(w, ridx, axis=-1)
+        # masked z-norm over the real token rows (biased std, parity
+        # with the reference's unbiased=False)
+        rmask = (jnp.arange(tp, dtype=jnp.int32) < n_tokens)[None, :, None]
+        cnt = n_tokens.astype(jnp.float32)
+        mean = jnp.sum(jnp.where(rmask, w, 0.0), axis=-2, keepdims=True) / cnt
+        var = jnp.sum(
+            jnp.where(rmask, (w - mean) ** 2, 0.0), axis=-2, keepdims=True
+        ) / cnt
+        w = (w - mean) / jnp.sqrt(var)
+        w = median_filter(w, medfilt_width)
+        return text_probs, jnp.mean(w, axis=0)
 
     return jax.jit(fwd)
 
@@ -83,29 +133,24 @@ def find_alignment(
     mel = jnp.asarray(mel)
     if mel.ndim == 2:
         mel = mel[None]
-    logits, qks = _alignment_program(model.dims, model.dtype)(
-        model.params, mel, jnp.asarray(tokens[None])
-    )
 
-    sampled_logits = np.asarray(
-        logits[0, len(tokenizer.sot_sequence):, : tokenizer.eot], np.float32
-    )
-    token_probs = _softmax(sampled_logits)
-    text_token_probs = token_probs[
-        np.arange(len(text_tokens)), np.asarray(text_tokens)
-    ].tolist()
-
+    n_tok = len(tokens)
+    n_sot = len(tokenizer.sot_sequence)
+    tp = _token_bucket(n_tok)
+    tokens_p = np.pad(tokens, (0, tp - n_tok), constant_values=tokenizer.eot)
     heads = np.argwhere(model.get_alignment_heads())  # (n_sel, 2) [layer, head]
-    weights = jnp.stack([qks[l, 0, h] for l, h in heads])  # (n_sel, T, Ta)
-    weights = weights[:, :, : num_frames // 2]
-    weights = jax.nn.softmax(weights * qk_scale, axis=-1)
-    mean = jnp.mean(weights, axis=-2, keepdims=True)
-    std = jnp.std(weights, axis=-2, keepdims=True)  # biased, parity w/ unbiased=False
-    weights = (weights - mean) / std
-    weights = median_filter(weights, medfilt_width)
+    program = _alignment_program(
+        model.dims, model.dtype, tp, n_sot, int(tokenizer.eot),
+        medfilt_width, len(heads),
+    )
+    text_probs, matrix = jax.device_get(program(
+        model.params, mel, jnp.asarray(tokens_p[None]),
+        np.int32(n_tok), np.int32(num_frames // 2), np.float32(qk_scale),
+        jnp.asarray(heads[:, 0]), jnp.asarray(heads[:, 1]),
+    ))
+    text_token_probs = np.asarray(text_probs)[: len(text_tokens)].tolist()
 
-    matrix = np.asarray(jnp.mean(weights, axis=0))
-    matrix = matrix[len(tokenizer.sot_sequence): -1]
+    matrix = np.asarray(matrix)[n_sot : n_tok - 1, : num_frames // 2]
     text_indices, time_indices = dtw(-matrix)
 
     words, word_tokens = tokenizer.split_to_word_tokens(
@@ -130,11 +175,6 @@ def find_alignment(
             words, word_tokens, start_times, end_times, word_probabilities
         )
     ]
-
-
-def _softmax(x: np.ndarray) -> np.ndarray:
-    e = np.exp(x - x.max(axis=-1, keepdims=True))
-    return e / e.sum(axis=-1, keepdims=True)
 
 
 def merge_punctuations(alignment: List[WordTiming], prepended: str, appended: str):
