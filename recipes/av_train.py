@@ -100,7 +100,7 @@ def main():
         model.dims, vcfg, tx,
         prob_av=cfg.prob_av, prob_a=cfg.prob_a,
         freeze_video=bool(cfg.freeze_video_model),
-        dtype=cfg.compute_dtype,
+        dtype=cfg.compute_dtype, remat=cfg.remat,
     )
 
     rng_holder = {"key": jax.random.PRNGKey(cfg.seed)}

@@ -84,7 +84,7 @@ def main():
     kd_step = make_prompt_kd_train_step(
         teacher.dims, tx, alpha=cfg.alpha, beta=cfg.beta,
         temperature=cfg.temperature, freeze_student_encoder=freeze,
-        dtype=cfg.compute_dtype,
+        dtype=cfg.compute_dtype, remat=cfg.remat,
     )
 
     def step(state, batch):

@@ -68,7 +68,8 @@ def main():
         accumulate_steps=cfg.gradient_accumulation_steps,
     )
     step = make_ce_train_step(
-        model.dims, tx, freeze_encoder=True, use_xt=True, dtype=cfg.compute_dtype
+        model.dims, tx, freeze_encoder=True, use_xt=True,
+        dtype=cfg.compute_dtype, remat=cfg.remat,
     )
     trainer = Trainer(
         cfg=cfg, dims=model.dims, train_step=step,

@@ -92,7 +92,7 @@ def main():
         alpha=cfg.alpha, beta=cfg.beta, temperature=cfg.temperature,
         freeze_student_encoder=freeze,
         share_teacher_features=freeze,
-        dtype=cfg.compute_dtype,
+        dtype=cfg.compute_dtype, remat=cfg.remat,
     )
     prepare = make_xt_prepare(conditioner, cfg.num_langs)
 

@@ -56,7 +56,8 @@ def main():
         accumulate_steps=cfg.gradient_accumulation_steps,
     )
     step = make_ce_train_step(
-        model.dims, tx, freeze_encoder=freeze, dtype=cfg.compute_dtype
+        model.dims, tx, freeze_encoder=freeze, dtype=cfg.compute_dtype,
+        remat=cfg.remat,
     )
     mesh = setup_mesh(cfg)
     trainer = Trainer(

@@ -51,6 +51,11 @@ class TrainConfig:
     gradient_accumulation_steps: int = 1
     max_grad_norm: float = 1.0
     precision: str = "16-mixed"  # "16-mixed" -> bfloat16 compute on TPU
+    # rematerialization for the train step's layer scan: "full" (default,
+    # per-block recompute), "none" (save all activations; measured ~6%
+    # faster at small/b8 when memory allows — docs/performance.md), or a
+    # jax.checkpoint_policies name like "dots"
+    remat: str = "full"
 
     # data
     audio_max_length: int = 480_000
