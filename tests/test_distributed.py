@@ -81,14 +81,7 @@ print(f"RESULT pid={pid} loss={float(loss):.6f}", flush=True)
 """
 
 
-def test_two_process_train_step(tmp_path):
-    with socket.socket() as s:  # free port for the coordinator
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-    script = tmp_path / "worker.py"
-    script.write_text(_WORKER)
-    env = dict(os.environ)
-    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+def _launch(script, port, env):
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(i), str(port)],
@@ -97,12 +90,27 @@ def test_two_process_train_step(tmp_path):
         )
         for i in range(2)
     ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=420)
-        outs.append(out)
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"process {i} failed:\n{out}"
+    return procs, [p.communicate(timeout=420)[0] for p in procs]
+
+
+def test_two_process_train_step(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    for attempt in range(2):
+        with socket.socket() as s:  # free port for the coordinator
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs, outs = _launch(script, port, env)
+        if all(p.returncode == 0 for p in procs):
+            break
+        # the free port can be stolen between probe and coordinator bind;
+        # retry once on that specific race
+        if attempt == 0 and any("already in use" in o.lower() for o in outs):
+            continue
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"process {i} failed:\n{out}"
     losses = []
     for out in outs:
         lines = [l for l in out.splitlines() if l.startswith("RESULT")]

@@ -126,12 +126,19 @@ def test_add_word_timestamps_segments():
     assert all("start" in w and "end" in w for w in segments[0]["words"])
 
 
-def test_alignment_program_matches_eager_reference_order():
+import pytest
+
+
+@pytest.mark.parametrize("num_frames", [2500, 2998, 3000, 4])
+def test_alignment_program_matches_eager_reference_order(num_frames):
     """The fused alignment program (masked softmax over real frames,
     reflect-into-pad before medfilt, masked z-norm over real token rows,
     token-bucket padding) must reproduce the reference's eager order
     (slice -> softmax -> z-norm -> medfilt; timing.py:185-210) exactly,
-    including at a partial final segment (num_frames < full)."""
+    including at a partial final segment (2500), a segment whose real
+    width ends inside the filter half-width of the array edge (2998),
+    the full segment (3000), and the degenerate small-input passthrough
+    regime (4 frames -> nfh=2 <= pad_width)."""
     import jax
     import jax.numpy as jnp
 
@@ -151,7 +158,6 @@ def test_alignment_program_matches_eager_reference_order():
         [*tok.sot_sequence, tok.no_timestamps, *text_tokens, tok.eot], np.int32
     )
     mel = np.random.default_rng(1).standard_normal((1, 80, 3000)).astype(np.float32)
-    num_frames = 2500  # partial segment: exercises the masked-frame path
     nfh = num_frames // 2
     n_sot = len(tok.sot_sequence)
 
@@ -171,7 +177,7 @@ def test_alignment_program_matches_eager_reference_order():
     w = jax.nn.softmax(w.astype(jnp.float32), axis=-1)
     mean = jnp.mean(w, axis=-2, keepdims=True)
     std = jnp.std(w, axis=-2, keepdims=True)
-    w = median_filter((w - mean) / std, 7)
+    w = median_filter((w - mean) / std, 7)  # passthrough when nfh <= 3
     matrix_ref = np.asarray(jnp.mean(w, axis=0))[n_sot : len(tokens) - 1]
 
     # --- fused program, bucket-padded ---

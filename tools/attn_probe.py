@@ -115,14 +115,10 @@ def main():
             out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
         return out.astype(jnp.float32).mean()
 
+    from whisper_flamingo_tpu.profiling import timeit_device
+
     def timeit(fn, *args, iters=20):
-        r = fn(*args)
-        np.asarray(jax.tree.leaves(r)[0])
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = fn(*args)
-        np.asarray(jax.tree.leaves(r)[0])
-        return (time.perf_counter() - t0) / iters
+        return timeit_device(fn, *args, iters=iters)
 
     def grad_scalar(params, mel):
         g = jax.grad(enc_loss)(params, mel)

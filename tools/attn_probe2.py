@@ -36,14 +36,7 @@ def main():
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((batch_size, 80, 3000)), jnp.float32)
 
-    def timeit(fn, *args, iters=10):
-        r = fn(*args)
-        np.asarray(jax.tree.leaves(r)[0])
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = fn(*args)
-        np.asarray(jax.tree.leaves(r)[0])
-        return (time.perf_counter() - t0) / iters
+    from whisper_flamingo_tpu.profiling import timeit_device as timeit
 
     for backend in ("flash", "xla"):
         for remat in (False, True, "dots"):

@@ -56,7 +56,6 @@ def main():
     out["serving_segments"] = 64
     out["serving_wall_s"] = round(dt, 3)
     out["serving_rtf"] = round(audio_s / dt, 1)
-    out["serving_audio_s_per_s"] = out["serving_rtf"]
 
     # --- transcribe_long: 10 minutes of audio as one padded batch ---
     long_audio = rng.standard_normal(600 * SAMPLE_RATE).astype(np.float32) * 0.02

@@ -52,9 +52,11 @@ class TrainConfig:
     max_grad_norm: float = 1.0
     precision: str = "16-mixed"  # "16-mixed" -> bfloat16 compute on TPU
     # rematerialization for the train step's layer scan: "full" (default,
-    # per-block recompute), "none" (save all activations; measured ~6%
-    # faster at small/b8 when memory allows — docs/performance.md), or a
-    # jax.checkpoint_policies name like "dots"
+    # per-block recompute), "none" (save all activations; ~6% faster on
+    # the encoder fwd+grad but the full small/b8 fine-tune step OOMs HBM
+    # without remat — viable for frozen-encoder/gated training and small
+    # models, see docs/performance.md), or a jax.checkpoint_policies
+    # name like "dots"
     remat: str = "full"
 
     # data

@@ -125,3 +125,28 @@ def model_flops(
 
 def mfu(flops_per_sec: float, chip: str = "v5e") -> float:
     return flops_per_sec / TPU_PEAK_FLOPS[chip]
+
+
+def timeit_device(fn, *args, iters: int = 10) -> float:
+    """Steady-state seconds/call for a jitted callable on the device.
+
+    One warm-up call (absorbs compile), then ``iters`` async dispatches
+    synced ONCE by materializing the first output leaf with
+    ``np.asarray`` — ``jax.block_until_ready`` is unreliable through the
+    tunneled TPU backend. Outputs must be small (scalars): a large
+    output puts its device->host transfer inside the timed window
+    (an (8,1500,768) feature tensor costs ~60 ms/iter at the ~30 MB/s
+    tunnel — the round-1 microbench trap, docs/performance.md).
+    """
+    import time
+
+    import jax
+    import numpy as np
+
+    r = fn(*args)
+    np.asarray(jax.tree.leaves(r)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    np.asarray(jax.tree.leaves(r)[0])
+    return (time.perf_counter() - t0) / iters

@@ -87,9 +87,16 @@ def _alignment_program(dims, dtype, tp, n_sot, eot_cut, medfilt_width, n_sel):
         col = jnp.arange(ta, dtype=jnp.int32)
         w = jnp.where(col[None, None, :] < nfh, w * qk_scale, -jnp.inf)
         w = jax.nn.softmax(w, axis=-1)
-        # reflect the real region into the masked zone so the median
-        # filter's boundary behavior matches filtering the sliced array
-        ridx = jnp.where(col < nfh, col, jnp.maximum(2 * nfh - 2 - col, 0))
+        # Reflect the real region into the padded zone so the median
+        # filter's boundary behavior matches filtering the sliced
+        # (..., nfh) array. The gather runs over ta + pad_width columns:
+        # when nfh is within pad_width of ta (e.g. a 2998-frame final
+        # segment), the real columns' windows would otherwise spill into
+        # the filter's own edge padding of the full-width array and see
+        # values the reference never does.
+        pad_w = medfilt_width // 2
+        colx = jnp.arange(ta + pad_w, dtype=jnp.int32)
+        ridx = jnp.where(colx < nfh, colx, jnp.maximum(2 * nfh - 2 - colx, 0))
         w = jnp.take(w, ridx, axis=-1)
         # masked z-norm over the real token rows (biased std, parity
         # with the reference's unbiased=False)
@@ -100,7 +107,10 @@ def _alignment_program(dims, dtype, tp, n_sot, eot_cut, medfilt_width, n_sel):
             jnp.where(rmask, (w - mean) ** 2, 0.0), axis=-2, keepdims=True
         ) / cnt
         w = (w - mean) / jnp.sqrt(var)
-        w = median_filter(w, medfilt_width)
+        # reference small-input passthrough (ops/median.py, timing.py:29):
+        # a sliced (..., nfh) array with nfh <= pad_width is returned
+        # unfiltered, so select the unfiltered values in that regime
+        w = jnp.where(nfh <= pad_w, w, median_filter(w, medfilt_width))
         return text_probs, jnp.mean(w, axis=0)
 
     return jax.jit(fwd)
