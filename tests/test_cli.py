@@ -40,7 +40,7 @@ def test_cli_transcribe_roundtrip(tmp_path):
         ],
         capture_output=True,
         text=True,
-        timeout=500,
+        timeout=900,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env=env,
     )

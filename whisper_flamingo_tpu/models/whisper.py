@@ -42,9 +42,12 @@ import numpy as np
 
 from ..ops.attention import (
     cached_causal_mask,
+    cached_qkv_attention,
     causal_mask,
     qkv_attention,
+    transpose_kv,
     update_cache,
+    xa_qkv_attention,
 )
 from .dims import ModelDimensions
 
@@ -112,7 +115,10 @@ def attention_block(
     return_qk: bool = False,
 ):
     """Projected MHA. ``kv_src`` selects cross-attention; ``k/v_override``
-    inject precomputed (cached) keys/values.
+    inject precomputed (cached) keys/values — 4-D (B, H, Dh, T)
+    transposed slabs for cross/conditioning attention
+    (:func:`~whisper_flamingo_tpu.ops.attention.xa_qkv_attention`), 3-D
+    (B, T, D) for the self cache; K pre-scaled at write time either way.
 
     Beam grouping: when the override K/V batch is smaller than the query
     batch (beam search shares one audio stream across ``G`` beams), the
@@ -122,15 +128,21 @@ def attention_block(
     """
     q = linear(p["q"], x)
     if k_override is not None:
-        k, v = k_override.astype(x.dtype), v_override.astype(x.dtype)
-        if k.shape[0] != q.shape[0] and mask is None:
-            bg, t, d = q.shape
-            b = k.shape[0]
-            g = bg // b
-            out = qkv_attention(
-                q.reshape(b, g * t, d), k, v, n_head, backend=backend
-            ).reshape(bg, t, d)
-            return linear(p["out"], out)
+        if k_override.ndim == 4:  # transposed xa/xt slab
+            if k_override.shape[0] != q.shape[0] and mask is None:
+                bg, t, d = q.shape
+                b = k_override.shape[0]
+                g = bg // b
+                out = xa_qkv_attention(
+                    q.reshape(b, g * t, d), k_override, v_override, n_head
+                ).reshape(bg, t, d)
+            else:
+                out = xa_qkv_attention(q, k_override, v_override, n_head)
+        else:
+            out = cached_qkv_attention(
+                q, k_override, v_override, n_head, mask=mask
+            )
+        return linear(p["out"], out)
     else:
         src = x if kv_src is None else kv_src
         k = linear(p["k"], src)
@@ -275,6 +287,32 @@ def embed_tokens_as_xt(params: Params, dims: ModelDimensions, tokens: jax.Array,
     return emb[None]
 
 
+def fuse_decode_qkv(params: Params) -> Params:
+    """Concatenate each decoder layer's self-attention q/k/v projection
+    weights into one (L, D, 3D) GEMM operand for the incremental decode
+    loop (3 row-thin matmuls per layer -> 1).
+
+    Numerically identical to the separate projections: concatenating
+    output columns leaves each column's contraction untouched, and the
+    bias-free K projection (reference model.py:67, Linear(bias=False))
+    gets an exact-zero bias block. The decode step at small batch is
+    per-op-overhead-bound, not FLOPs-bound (tools/decode_probe.py), so
+    fewer, fatter GEMMs win. Returns a new params tree; the original is
+    untouched (training/teacher-forced paths never see the fused entry).
+    """
+    dec = params["decoder"]
+    attn = dec["blocks"]["attn"]
+    qkv_w = jnp.concatenate(
+        [attn["q"]["w"], attn["k"]["w"], attn["v"]["w"]], axis=-1
+    )
+    qkv_b = jnp.concatenate(
+        [attn["q"]["b"], jnp.zeros_like(attn["q"]["b"]), attn["v"]["b"]],
+        axis=-1,
+    )
+    blocks = dict(dec["blocks"], attn=dict(attn, qkv_w=qkv_w, qkv_b=qkv_b))
+    return dict(params, decoder=dict(dec, blocks=blocks))
+
+
 def init_cache(
     params: Params,
     dims: ModelDimensions,
@@ -291,22 +329,36 @@ def init_cache(
     computed once here instead of at every decode step (the reference
     recomputed the full prefix every step after disabling its cache,
     `decoding.py:155-164`).
+
+    Layouts are chosen per measured HBM behavior (tools/xa_probe.py):
+    the large static slabs the loop re-reads every token (audio and
+    conditioning K/V) are stored transposed, (L, B, H, Dh, T), so the
+    d_head=64 axis stays off the 128-lane minor dimension (a pre-split
+    (…, T, 64) slab pads to 128 lanes and doubles its bytes); the self
+    cache stays unsplit (L, B, T, D) — short time axis, zero padding,
+    cheap beam-reorder gathers. K is pre-scaled by ``(d/h)^-0.25`` at
+    write time in both (same multiplication the reference applies at
+    use, model.py:93-108).
     """
     dec = params["decoder"]
     L = dims.n_text_layer
     B = audio_features.shape[0]
     D = dims.n_text_state
+    H = dims.n_text_head
     T = max_len or dims.n_text_ctx
+    scale = (D // H) ** -0.25
     xa = audio_features.astype(dtype)
 
     def xa_kv(_, bp):
-        return None, (linear(bp["cross_attn"]["k"], xa), linear(bp["cross_attn"]["v"], xa))
+        k = transpose_kv(linear(bp["cross_attn"]["k"], xa), H) * scale
+        v = transpose_kv(linear(bp["cross_attn"]["v"], xa), H)
+        return None, (k, v)
 
     _, (xa_k, xa_v) = jax.lax.scan(xa_kv, None, dec["blocks"])
     cache = {
         "k": jnp.zeros((L, B, T, D), dtype),
         "v": jnp.zeros((L, B, T, D), dtype),
-        "xa_k": xa_k,
+        "xa_k": xa_k,  # (L, B, H, Dh, Ta), K pre-scaled
         "xa_v": xa_v,
     }
     if xt is not None and "gated" in dec["blocks"]:
@@ -314,17 +366,23 @@ def init_cache(
 
         def xt_kv(_, gp_langs):
             k = jnp.stack(
-                [linear(jax.tree.map(lambda a: a[i], gp_langs)["attn"]["k"], xt_p[i])
+                [transpose_kv(
+                    linear(jax.tree.map(lambda a: a[i], gp_langs)["attn"]["k"], xt_p[i]),
+                    H,
+                ) * scale
                  for i in range(xt_p.shape[0])]
             )
             v = jnp.stack(
-                [linear(jax.tree.map(lambda a: a[i], gp_langs)["attn"]["v"], xt_p[i])
+                [transpose_kv(
+                    linear(jax.tree.map(lambda a: a[i], gp_langs)["attn"]["v"], xt_p[i]),
+                    H,
+                )
                  for i in range(xt_p.shape[0])]
             )
             return None, (k, v)
 
         _, (xt_k, xt_v) = jax.lax.scan(xt_kv, None, dec["blocks"]["gated"]["langs"])
-        cache["xt_k"] = xt_k  # (L, n_langs, B, S, D)
+        cache["xt_k"] = xt_k  # (L, n_langs, B, H, Dh, S), K pre-scaled
         cache["xt_v"] = xt_v
         cache["xt"] = xt_p
     return cache
@@ -409,8 +467,9 @@ def decoder_apply(
         x, qks = jax.lax.scan(block_fn, x, dec["blocks"])
         new_cache = qks if return_cross_qk else None
     else:
-        cache_len = cache["k"].shape[2]
+        cache_len = cache["k"].shape[-2]
         mask = cached_causal_mask(T, cache_len, offset)
+        scale = (dims.n_text_state // n_head) ** -0.25
 
         have_xt_kv = use_gated and "xt_k" in cache
 
@@ -423,14 +482,23 @@ def decoder_apply(
                 )
             elif use_gated:
                 x = _gated_ff_only(bp["gated"], x)
+            ap = bp["attn"]
             x_ln = layer_norm(bp["attn_ln"], x)
-            k_new = linear(bp["attn"]["k"], x_ln)
-            v_new = linear(bp["attn"]["v"], x_ln)
-            k_l = update_cache(k_l, k_new, offset)
-            v_l = update_cache(v_l, v_new, offset)
-            x = x + attention_block(
-                bp["attn"], x_ln, n_head, mask=mask,
-                k_override=k_l, v_override=v_l,
+            if "qkv_w" in ap:  # fused projection (see fuse_decode_qkv)
+                qkv = x_ln @ ap["qkv_w"].astype(x_ln.dtype) + ap[
+                    "qkv_b"
+                ].astype(x_ln.dtype)
+                q, k_raw, v_raw = jnp.split(qkv, 3, axis=-1)
+            else:
+                q = linear(ap["q"], x_ln)
+                k_raw = linear(ap["k"], x_ln)
+                v_raw = linear(ap["v"], x_ln)
+            # write the new token's K/V unsplit (B, T, D), K pre-scaled —
+            # the slab layout cached_qkv_attention consumes
+            k_l = update_cache(k_l, k_raw * scale, offset)
+            v_l = update_cache(v_l, v_raw, offset)
+            x = x + linear(
+                ap["out"], cached_qkv_attention(q, k_l, v_l, n_head, mask=mask)
             )
             x = x + attention_block(
                 bp["cross_attn"], layer_norm(bp["cross_attn_ln"], x), n_head,

@@ -151,5 +151,75 @@ def cached_causal_mask(q_len: int, cache_len: int, offset) -> jax.Array:
 
 
 def update_cache(cache: jax.Array, new: jax.Array, offset) -> jax.Array:
-    """Write ``new`` (B, T, D) into ``cache`` (B, T_max, D) at ``offset``."""
-    return jax.lax.dynamic_update_slice(cache, new.astype(cache.dtype), (0, offset, 0))
+    """Write ``new`` (..., T, d) into ``cache`` (..., T_max, d) at ``offset``
+    along the second-to-last (time) axis."""
+    idx = (0,) * (cache.ndim - 2) + (offset, 0)
+    return jax.lax.dynamic_update_slice(cache, new.astype(cache.dtype), idx)
+
+
+def cached_qkv_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    n_head: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Self-attention against the decode self-KV cache.
+
+    ``q`` (B, Tq, D); ``k``/``v`` are unsplit cache slabs (B, T_max, D),
+    with K pre-scaled by ``(d/h)^-0.25`` at write time. The self cache
+    stays unsplit/3-D: its time axis is short (<= n_text_ctx), so the
+    per-step head split is cheap, while an unsplit minor dim of D=768
+    tiles the TPU's (8, 128) layout with zero padding — a pre-split
+    (B, H, T, 64) slab pads 64 -> 128 lanes and doubles both the cache
+    bytes and the beam-reorder gather (measured: tools/xa_probe.py).
+    Numerics parity: the reference applies the scale to both q and k
+    (reference model.py:93-108); scaling k once at write time is the
+    same multiplication, done earlier.
+    """
+    d_head = q.shape[-1] // n_head
+    qh = split_heads(q, n_head) * (d_head**-0.25)
+    kh = split_heads(k.astype(qh.dtype), n_head)  # pre-scaled at write
+    vh = split_heads(v.astype(qh.dtype), n_head)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        logits = logits + mask
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return merge_heads(jnp.einsum("bhqk,bhkd->bhqd", weights, vh))
+
+
+def xa_qkv_attention(
+    q: jax.Array, kT: jax.Array, vT: jax.Array, n_head: int
+) -> jax.Array:
+    """Cross-attention against a transposed, pre-scaled K/V slab.
+
+    ``q`` (B, Tq, D); ``kT``/``vT`` are (B, H, Dh, Tk) with K pre-scaled
+    at write time. This is the layout for the *large* static slabs the
+    decode loop re-reads every token (audio cross-attention K/V: 1500
+    frames; conditioning streams): with Dh=64 on the lane axis a
+    (B, H, Tk, 64) slab pads 64 -> 128 and doubles its HBM bytes, while
+    (B, H, 64, Tk) pads only Tk (1500 -> 1536, 2.4%) — and QK^T wants K
+    in (d, k) orientation anyway. Measured on v5e at small/b8 per step
+    (12 layers, K+V = 442 MB logical): unsplit-with-per-step-split
+    2.74 ms, pre-split 3.50 ms, this layout 2.15 ms
+    (tools/xa_probe.py). Cross-attention takes no mask.
+    """
+    d_head = q.shape[-1] // n_head
+    qh = split_heads(q, n_head) * (d_head**-0.25)
+    logits = jnp.einsum(
+        "bhqd,bhdk->bhqk", qh, kT.astype(qh.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return merge_heads(
+        jnp.einsum("bhqk,bhdk->bhqd", weights, vT.astype(q.dtype))
+    )
+
+
+def transpose_kv(x: jax.Array, n_head: int) -> jax.Array:
+    """(B, T, D) projected K or V -> the (B, H, Dh, T) slab layout that
+    :func:`xa_qkv_attention` consumes. One-time cost at prefill."""
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 3, 1)
