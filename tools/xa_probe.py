@@ -97,14 +97,16 @@ def main():
         return x + o.transpose(0, 2, 1, 3).reshape(x.shape), None
 
     variants = {
-        "unsplit (B,T,768), split/step [old]": (body_unsplit, (k3, v3)),
-        "pre-split (B,H,T,64) [new]": (body_presplit, (k4, v4)),
-        "K^T (B,H,64,T) + V (B,H,T,64)": (body_kt_v4, (kT, v4)),
-        "K^T + V^T (B,H,64,T)": (body_kt_vt, (kT, vT)),
+        "unsplit (B,T,768), split/step [old]": (body_unsplit, (k3, v3), 1),
+        "pre-split (B,H,T,64) [new]": (body_presplit, (k4, v4), 1),
+        "K^T (B,H,64,T) + V (B,H,T,64)": (body_kt_v4, (kT, v4), 1),
+        "K^T + V^T (B,H,64,T)": (body_kt_vt, (kT, vT), 1),
+        "K^T + V^T, scan unroll=4": (body_kt_vt, (kT, vT), 4),
+        "K^T + V^T, scan unroll=12": (body_kt_vt, (kT, vT), 12),
     }
 
-    for name, (body, kv) in variants.items():
-        fn = jax.jit(lambda q, kv, body=body: jax.lax.scan(body, q, kv)[0])
+    for name, (body, kv, unroll) in variants.items():
+        fn = jax.jit(lambda q, kv, body=body, u=unroll: jax.lax.scan(body, q, kv, unroll=u)[0])
         r = fn(q, kv)
         np.asarray(r)  # sync (block_until_ready unreliable via tunnel)
         iters = 30
