@@ -117,3 +117,18 @@ def test_librispeech_defaults_and_resample(monkeypatch):
     assert ex.text == "HELLO WORLD"
     assert len(ex.audio) == 1600  # 8 kHz resampled to 16 kHz
     assert ex.translations == [] and ex.prompt == ""
+
+
+def test_already_suffixed_name_not_double_suffixed(monkeypatch):
+    """A config naming the concrete _eval/_train dataset must not get the
+    split suffix appended again (the preset prefix-matches both)."""
+    calls = []
+
+    def fake_load(name, config=None, split=None, **kw):
+        calls.append((name, config, split))
+        return _fake_kloka("amis_a")
+
+    monkeypatch.setattr(datasets, "load_dataset", fake_load)
+    HFAsrSource("formospeech/kloka_crawled_asr_eval", split="train", config="amis_a")
+    # name untouched; HF split still remapped to the only published split
+    assert calls == [("formospeech/kloka_crawled_asr_eval", "amis_a", "train")]

@@ -142,3 +142,40 @@ def test_resume_is_bit_identical(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(la), np.asarray(lc), err_msg=jax.tree_util.keystr(pa)
         )
+
+
+def test_restore_full_state_mismatch_raises(tmp_path):
+    """A FULL-state checkpoint restored against a template whose optimizer
+    structure changed (e.g. accumulation turned on) must raise, not be
+    silently mistaken for the legacy params-only layout and resumed with
+    a fresh opt_state."""
+    import pytest
+
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    tx, _ = whisper_optimizer(params, 1e-3, total_steps=4)
+    state = TrainState.create(params, tx)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), monitor="val/loss")
+    mgr.save(state, {"val/loss": 1.0}, 0)
+
+    tx2, _ = whisper_optimizer(
+        params, 1e-3, total_steps=4, accumulate_steps=4
+    )  # MultiSteps wraps the opt_state: different pytree structure
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"), monitor="val/loss")
+    with pytest.raises(Exception):
+        mgr2.restore_last(TrainState.create(params, tx2))
+
+
+def test_remat_spec_validation():
+    """An unknown remat spec (e.g. yaml `remat=false` arriving as the
+    string "false") fails with a ValueError naming the accepted values,
+    not an AttributeError mid-trace."""
+    import pytest
+
+    from whisper_flamingo_tpu.models.whisper import _remat_wrap
+
+    with pytest.raises(ValueError, match="remat spec"):
+        _remat_wrap(lambda x, y: (x, y), "false")
+    # accepted forms still work
+    assert _remat_wrap(lambda x, y: (x, y), "none")
+    assert _remat_wrap(lambda x, y: (x, y), "full")
+    assert _remat_wrap(lambda x, y: (x, y), "dots")

@@ -25,7 +25,6 @@ beam_q simulates the beam-grouped query length (15 for beam-15).
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -105,16 +104,11 @@ def main():
         "K^T + V^T, scan unroll=12": (body_kt_vt, (kT, vT), 12),
     }
 
+    from whisper_flamingo_tpu.profiling import timeit_device
+
     for name, (body, kv, unroll) in variants.items():
         fn = jax.jit(lambda q, kv, body=body, u=unroll: jax.lax.scan(body, q, kv, unroll=u)[0])
-        r = fn(q, kv)
-        np.asarray(r)  # sync (block_until_ready unreliable via tunnel)
-        iters = 30
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = fn(q, kv)
-        np.asarray(r)
-        dt_ms = (time.perf_counter() - t0) / iters * 1000
+        dt_ms = timeit_device(fn, q, kv, iters=30) * 1000
         gb = 2 * L * B * T * D * 2 / 1e9  # unpadded K+V bytes
         print(f"{name:38s} {dt_ms:7.2f} ms   eff-BW {gb / dt_ms * 1000:6.0f} GB/s")
 

@@ -223,7 +223,14 @@ class HFAsrSource(AsrSource):
         split_names = preset.get("split_names")
         if split_names and split in split_names:
             suffix, hf_split = split_names[split]
-            name, split = name + suffix, hf_split
+            # the preset prefix-matches, so the config may already name
+            # the concrete suffixed dataset (…_train/_eval): don't
+            # double-append the suffix — but the HF split remap still
+            # applies (these corpora only publish a "train" split)
+            if any(name.endswith(s) for s, _ in split_names.values()):
+                split = hf_split
+            else:
+                name, split = name + suffix, hf_split
 
         configs = [c.strip() for c in config.split("+")] if config else [None]
         parts = []

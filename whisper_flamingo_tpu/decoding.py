@@ -137,6 +137,14 @@ class DecodingResult:
 # Language identification (parity: reference decoding.py:18-77)
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=None)
+def _device_lang_ids(tokens: Tuple[int, ...]) -> jax.Array:
+    """Device-resident language-token ids — long-form transcribe calls
+    detect_language once per file; don't re-upload the same constant
+    over the high-latency device link each time."""
+    return jnp.asarray(tokens, jnp.int32)
+
+
 def detect_language(
     model: "Whisper", mel, tokenizer: Optional[Tokenizer] = None
 ):
@@ -155,7 +163,7 @@ def detect_language(
         mel = _make_encode_program(model.dims, model.dtype)(model.params, mel)
 
     n_audio = mel.shape[0]
-    lang_ids = jnp.asarray(list(tokenizer.all_language_tokens), jnp.int32)
+    lang_ids = _device_lang_ids(tuple(tokenizer.all_language_tokens))
     language_tokens, language_token_probs = jax.device_get(
         _make_lang_id_program(model.dims, model.dtype)(
             model.params, mel, tokenizer.sot, lang_ids

@@ -213,7 +213,16 @@ def _remat_wrap(fn, remat):
     if remat is True or remat == "full":
         return jax.checkpoint(fn)
     name = {"dots": "dots_with_no_batch_dims_saveable"}.get(remat, remat)
-    return jax.checkpoint(fn, policy=getattr(jax.checkpoint_policies, name))
+    policy = getattr(jax.checkpoint_policies, str(name), None)
+    if policy is None:
+        # fail at config time with the accepted values, not with an
+        # opaque AttributeError deep inside tracing (e.g. yaml
+        # `remat=false` reaches here as the *string* "false")
+        raise ValueError(
+            f"unknown remat spec {remat!r}: expected False/'none', "
+            "True/'full', 'dots', or a jax.checkpoint_policies name"
+        )
+    return jax.checkpoint(fn, policy=policy)
 
 
 def encoder_apply(

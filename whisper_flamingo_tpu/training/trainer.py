@@ -159,32 +159,47 @@ class CheckpointManager:
         last = os.path.join(self.directory, "last")
         if not os.path.exists(last):
             return None
+        # positively detect the layout from the checkpoint's own metadata
+        # instead of catching restore errors: a structure mismatch in a
+        # *full-state* checkpoint (e.g. the optimizer config changed
+        # between save and resume) must surface loudly, not be mistaken
+        # for the legacy layout and silently resumed with a fresh
+        # opt_state.
+        is_full: Optional[bool] = None
         try:
-            full = self._ckptr.restore(last, self._state_dict(template))
-            return TrainState(
-                params=full["params"],
-                opt_state=full["opt_state"],
-                step=jnp.asarray(full["step"], jnp.int32),
-            )
-        except (KeyError, ValueError, TypeError):
-            # legacy params-only layout: best-effort partial resume
-            import warnings
+            tree = self._ckptr.metadata(last).item_metadata.tree
+            is_full = {"params", "opt_state", "step"} <= set(tree.keys())
+        except Exception:
+            pass  # metadata unreadable: fall back to trying full first
+        if is_full or is_full is None:
+            try:
+                full = self._ckptr.restore(last, self._state_dict(template))
+                return TrainState(
+                    params=full["params"],
+                    opt_state=full["opt_state"],
+                    step=jnp.asarray(full["step"], jnp.int32),
+                )
+            except (KeyError, ValueError, TypeError):
+                if is_full:
+                    raise  # known full-state layout: real restore failure
+        # legacy params-only layout: best-effort partial resume
+        import warnings
 
-            params = self._ckptr.restore(last, template.params)
-            step = 0
-            meta = os.path.join(self.directory, "last.meta.json")
-            if os.path.exists(meta):
-                with open(meta) as f:
-                    step = json.load(f).get("step", 0)
-            warnings.warn(
-                "checkpoint has params only (pre-full-state layout); "
-                "optimizer state and schedule position start fresh"
-            )
-            return TrainState(
-                params=params,
-                opt_state=template.opt_state,
-                step=jnp.asarray(step, jnp.int32),
-            )
+        params = self._ckptr.restore(last, template.params)
+        step = 0
+        meta = os.path.join(self.directory, "last.meta.json")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                step = json.load(f).get("step", 0)
+        warnings.warn(
+            "checkpoint has params only (pre-full-state layout); "
+            "optimizer state and schedule position start fresh"
+        )
+        return TrainState(
+            params=params,
+            opt_state=template.opt_state,
+            step=jnp.asarray(step, jnp.int32),
+        )
 
 
 @dataclass
