@@ -53,7 +53,7 @@ def main():
                  for _ in range(2)]
 
     mels = np.stack([
-        np.asarray(whisper.log_mel_spectrogram(whisper.pad_or_trim(w)))
+        np.asarray(whisper.log_mel_spectrogram(whisper.pad_or_trim(w), n_mels=model.dims.n_mels))
         for w in waves
     ])
     options = whisper.DecodingOptions(

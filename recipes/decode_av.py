@@ -80,7 +80,7 @@ def main():
     for start in range(0, len(source), args.batch_size):
         batch = [source[i] for i in range(start, min(start + args.batch_size, len(source)))]
         mels = np.stack([
-            np.asarray(whisper.log_mel_spectrogram(pad_or_trim(ex.audio)))
+            np.asarray(whisper.log_mel_spectrogram(pad_or_trim(ex.audio), n_mels=model.dims.n_mels))
             for ex in batch
         ])
         video = None

@@ -158,3 +158,26 @@ def test_spec_augment_jax_on_device():
     # time masks start within the true frames; nothing beyond
     # frames + max_time_width is touched
     assert (out[0, 200:] == 1).all()
+
+
+def test_prefetch_loader_releases_producer_on_early_exit():
+    """Abandoning iteration early must not leave the producer thread
+    blocked on a full queue forever (regression: validate loops honoring
+    max_batches leaked one blocked thread per pass)."""
+    import gc
+    import threading
+    import time
+
+    from whisper_flamingo_tpu.data.dataset import PrefetchLoader
+
+    before = threading.active_count()
+    loader = PrefetchLoader([{"i": i} for i in range(100)], prefetch=1)
+    it = iter(loader)
+    next(it)
+    it.close()  # generator finalizer -> stop event
+    del it
+    gc.collect()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"

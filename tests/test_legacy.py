@@ -161,3 +161,52 @@ def test_sequential_fusion_cache_consistency():
         np.testing.assert_allclose(
             np.asarray(step[:, 0]), np.asarray(full[:, i]), atol=3e-4, rtol=1e-3
         )
+
+
+def test_sequential_fusion_through_compiled_decode():
+    """The COMPILED decode program must honor sequential_gated_x_attn on
+    every incremental step, not only at prefill: greedy tokens from
+    DecodingTask must equal an explicit teacher-forced argmax loop run
+    with decoder_apply(..., sequential_xt=True). (Regression: the loop
+    bodies once dropped the flag, silently decoding parallel-fusion.)"""
+    from whisper_flamingo_tpu.decoding import DecodingOptions, DecodingTask
+    from whisper_flamingo_tpu.models.whisper import Whisper
+    from whisper_flamingo_tpu.tokenizer import get_tokenizer
+
+    extras = ModelExtras(
+        add_gated_x_attn=1, num_langs=2, bert_dim=64, sequential_gated_x_attn=True
+    )
+    params = init_params(jax.random.PRNGKey(1), DIMS, extras)
+    g = params["decoder"]["blocks"]["gated"]
+    g["langs"]["attn_gate"] = jnp.full_like(g["langs"]["attn_gate"], 1.0)
+    g["ff_gate"] = jnp.full_like(g["ff_gate"], 1.0)
+    model = Whisper(dims=DIMS, params=params, extras=extras)
+
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(rng.standard_normal((1, 1500, 64)).astype(np.float32))
+    xt = jnp.asarray(rng.standard_normal((2, 1, 5, 64)).astype(np.float32))
+
+    sample_len = 6
+    task = DecodingTask(
+        model,
+        DecodingOptions(
+            language="en", without_timestamps=True, fp16=False,
+            sample_len=sample_len, suppress_blank=False, suppress_tokens=None,
+        ),
+    )
+    got = task.run(feats, xt=xt)[0].tokens
+
+    # explicit greedy: teacher-force the argmax continuation step by step
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    seq = list(task.initial_tokens)
+    for _ in range(sample_len):
+        logits, _ = decoder_apply(
+            params, DIMS, jnp.asarray([seq], jnp.int32), feats, xt=xt,
+            sequential_xt=True,
+        )
+        nxt = int(jnp.argmax(logits[0, -1]))
+        if nxt == tok.eot:
+            break
+        seq.append(nxt)
+    expected = seq[len(task.initial_tokens):]
+    assert got == expected

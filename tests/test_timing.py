@@ -194,3 +194,21 @@ def test_alignment_program_matches_eager_reference_order(num_frames):
 
     np.testing.assert_allclose(got_probs, probs_ref, rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(got_matrix, matrix_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_dtw_tie_breaking_matches_np_on_degenerate_costs():
+    """Cost matrices full of exact ties (small-integer values) must
+    produce identical traces on all three paths: the reference cascade
+    propagates c2 on the c0 == c1 < c2 tie — min() does not (regression:
+    the device wavefronts once used min)."""
+    from whisper_flamingo_tpu.ops.dtw import backtrace_np
+    from whisper_flamingo_tpu.ops.dtw_pallas import dtw_trace_pallas
+
+    rng = np.random.default_rng(7)
+    for shape in [(9, 17), (33, 70), (64, 128)]:
+        x = rng.integers(0, 2, shape).astype(np.float32)  # tie-rich
+        expected = dtw_np(x)
+        _, trace = dtw_costs_jax(x)
+        np.testing.assert_array_equal(backtrace_np(trace), expected)
+        got_p = backtrace_np(dtw_trace_pallas(x, interpret=True))
+        np.testing.assert_array_equal(got_p, expected)

@@ -144,3 +144,43 @@ def test_eval_step():
     loss, preds = step(params, batch)
     assert preds.shape == batch["dec_input_ids"].shape
     assert np.isfinite(float(loss))
+
+
+def test_cast_frozen_bf16_forward_bit_identical():
+    """bf16 frozen masters must not change the bf16-compute forward at
+    all: matmul/conv weights are cast at use anyway, and the fp32-consumed
+    leaves (LayerNorm scale/bias, token/pos embeddings) are exempt from
+    the cast."""
+    import numpy as np
+
+    from whisper_flamingo_tpu.models.dims import MODEL_DIMS
+    from whisper_flamingo_tpu.models.whisper import (
+        decoder_apply,
+        encoder_apply,
+        init_params,
+    )
+    from whisper_flamingo_tpu.training.steps import cast_frozen_bf16
+
+    dims = MODEL_DIMS["debug"]
+    params = init_params(jax.random.PRNGKey(0), dims)
+    frozen = jax.tree.map(lambda _: False, params)  # freeze everything
+    cast = cast_frozen_bf16(params, frozen)
+
+    # exemptions stayed fp32
+    dec = cast["decoder"]
+    assert dec["token_embedding"].dtype == jnp.float32
+    assert dec["pos_embedding"].dtype == jnp.float32
+    assert dec["ln"]["scale"].dtype == jnp.float32
+    # matmul weights got halved
+    assert dec["blocks"]["attn"]["q"]["w"].dtype == jnp.bfloat16
+
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, 80, 3000)), jnp.float32)
+    toks = jnp.asarray(rng.integers(0, 1000, (1, 7)), jnp.int32)
+
+    def fwd(p):
+        feats = encoder_apply(p, dims, mel, dtype=jnp.bfloat16)
+        logits, _ = decoder_apply(p, dims, toks, feats, dtype=jnp.bfloat16)
+        return np.asarray(logits)
+
+    np.testing.assert_array_equal(fwd(params), fwd(cast))

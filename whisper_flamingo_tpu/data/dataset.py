@@ -289,6 +289,14 @@ class SpeechDataset:
     text_normalizer: Any = None
     seed: int = 3407
     training: bool = True
+    epoch: int = 0  # mixed into the per-example rng; see set_epoch
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the augmentation rng stream: without an epoch component
+        every utterance would get the *same* SpecAugment masks and noise
+        draw in every epoch (the reference draws fresh randomness per
+        access, whisper_ft_librispeech.py:58-102)."""
+        self.epoch = epoch
 
     def __len__(self) -> int:
         return len(self.source)
@@ -300,7 +308,9 @@ class SpeechDataset:
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         ex = self.source[idx]
-        rng = np.random.default_rng(self.seed * 1000003 + idx)
+        rng = np.random.default_rng(
+            (self.seed * 1000003 + idx) * 1000033 + self.epoch
+        )
         text = ex.text
         if self.text_normalizer is not None:
             text = self.text_normalizer(text)
@@ -366,6 +376,8 @@ class DataLoader:
     def set_epoch(self, epoch: int) -> None:
         if hasattr(self.batch_sampler, "set_epoch"):
             self.batch_sampler.set_epoch(epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self) -> int:
         return len(self.batch_sampler)
@@ -400,22 +412,41 @@ class PrefetchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error = []
+        stop = threading.Event()
 
         def worker():
             try:
                 for item in self.loader:
-                    q.put(item)
+                    # bounded put that re-checks `stop`: a consumer that
+                    # abandons iteration early (e.g. a max_batches
+                    # validate loop) must not leave this thread blocked
+                    # on a full queue forever, pinning the loader and
+                    # its batches
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except Exception as e:  # propagate to the consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                try:
+                    q.put_nowait(sentinel)
+                except queue.Full:
+                    pass  # consumer gone; nothing is reading
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            stop.set()  # generator closed early: release the producer

@@ -770,6 +770,7 @@ def _make_decode_program(
                 cache=state["cache"],
                 offset=cur_len - 1,
                 dtype=dtype,
+                sequential_xt=sequential_xt,
             )
             return dict(
                 state,
@@ -883,6 +884,7 @@ def _make_decode_program(
                 cache=cache,
                 offset=cur_len - 1,
                 dtype=dtype,
+                sequential_xt=sequential_xt,
             )
             return dict(
                 state,

@@ -60,7 +60,9 @@ MODEL_DIMS = {
     "small.en": _dims(768, 12, 12, n_vocab=_EN),
     "medium": _dims(1024, 16, 24, n_vocab=_MULTI),
     "medium.en": _dims(1024, 16, 24, n_vocab=_EN),
-    "large": _dims(1280, 20, 32, n_vocab=_MULTI),
+    # "large" is an alias for large-v3, matching the registry URL and the
+    # reference (`/root/reference/whisper/__init__.py:29`)
+    "large": _dims(1280, 20, 32, n_vocab=_V3, n_mels=128),
     "large-v1": _dims(1280, 20, 32, n_vocab=_MULTI),
     "large-v2": _dims(1280, 20, 32, n_vocab=_MULTI),
     "large-v3": _dims(1280, 20, 32, n_vocab=_V3, n_mels=128),

@@ -45,11 +45,14 @@ def _dtw_program(n: int, m: int):
             c1 = jnp.concatenate([jnp.array([INF]), prev1[:-1]])  # cost[i-1, j]
             c2 = prev1  # cost[i, j-1]
 
-            # reference tie-breaking (timing.py:95-100)
+            # reference tie-breaking (timing.py:95-100). The propagated
+            # cost must follow the SAME cascade, not min(): in the tie
+            # c0 == c1 < c2 the reference's else-branch propagates c2
+            # even though it is larger.
             t = jnp.where(
                 (c0 < c1) & (c0 < c2), 0, jnp.where((c1 < c0) & (c1 < c2), 1, 2)
             ).astype(jnp.int8)
-            c = jnp.minimum(jnp.minimum(c0, c1), c2)
+            c = jnp.where(t == 0, c0, jnp.where(t == 1, c1, c2))
 
             xv = x[
                 jnp.clip(i_idx - 1, 0, n - 1), jnp.clip(j_idx - 1, 0, m - 1)

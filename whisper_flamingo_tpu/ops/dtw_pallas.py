@@ -70,13 +70,15 @@ def _dtw_pallas_program(n: int, m: int, interpret: bool = False):
             c1 = jnp.where(i_idx == 0, INF, pltpu.roll(prev1, 1, axis=1))
             c2 = prev1
 
-            # reference tie-breaking (timing.py:95-100)
+            # reference tie-breaking (timing.py:95-100); the propagated
+            # cost follows the same cascade (else-branch carries c2 even
+            # on the c0 == c1 < c2 tie), NOT min()
             t = jnp.where(
                 (c0 < c1) & (c0 < c2),
                 0,
                 jnp.where((c1 < c0) & (c1 < c2), 1, 2),
             ).astype(jnp.int32)
-            c = jnp.minimum(jnp.minimum(c0, c1), c2)
+            c = jnp.where(t == 0, c0, jnp.where(t == 1, c1, c2))
 
             cur = jnp.where(valid, x_rows_ref[r : r + 1, :] + c, INF)
             rows.append(jnp.where(valid, t, -1))

@@ -98,6 +98,12 @@ def spec_augment_jax(
 
     x: (B, time, freq); audio_frames: (B,) true lengths. Zero-fill masks;
     fully shape-static so it fuses into the input pipeline under jit.
+
+    Mask geometry mirrors the reference's (quirky) sampling exactly
+    (reference spec_augment.py:21-66, same as the numpy path above): each
+    mask draws a *pair* (w, mask_end); ``w`` only bounds the start
+    position and gates the ``w == 0`` skip, while the masked width is
+    ``mask_end`` — the second draw.
     """
     B, T, Fdim = x.shape
 
@@ -107,16 +113,21 @@ def spec_augment_jax(
         f_pos = jax.lax.broadcasted_iota(jnp.int32, (T, Fdim), 1)
         mask = jnp.zeros((T, Fdim), bool)
         for i in range(n_freq_mask):
-            k1, k2 = jax.random.split(kf[i])
+            k1, k2, k3 = jax.random.split(kf[i], 3)
             f = jax.random.randint(k1, (), 0, max_freq_width)
-            f0 = jax.random.randint(k2, (), 0, jnp.maximum(Fdim - f, 1))
-            mask |= (f_pos >= f0) & (f_pos < f0 + f) & (t_pos < frames)
+            mask_end = jax.random.randint(k2, (), 0, max_freq_width)
+            f0 = jax.random.randint(k3, (), 0, jnp.maximum(Fdim - f, 1))
+            mask |= (
+                (f > 0)
+                & (f_pos >= f0) & (f_pos < f0 + mask_end) & (t_pos < frames)
+            )
         for i in range(n_time_mask):
-            k1, k2 = jax.random.split(kf[n_freq_mask + i])
+            k1, k2, k3 = jax.random.split(kf[n_freq_mask + i], 3)
             t = jax.random.randint(k1, (), 0, max_time_width)
-            t0 = jax.random.randint(k2, (), 0, jnp.maximum(frames - t, 1))
-            valid = frames - t > 0
-            mask |= valid & (t_pos >= t0) & (t_pos < t0 + t)
+            mask_end = jax.random.randint(k2, (), 0, max_time_width)
+            t0 = jax.random.randint(k3, (), 0, jnp.maximum(frames - t, 1))
+            valid = (frames - t > 0) & (t > 0)
+            mask |= valid & (t_pos >= t0) & (t_pos < t0 + mask_end)
         return jnp.where(mask, 0.0, xi)
 
     keys = jax.random.split(key, B)

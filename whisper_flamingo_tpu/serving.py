@@ -68,7 +68,8 @@ class BatchTranscriber:
             while len(chunk) < b:  # pad the batch with silence
                 chunk.append(np.zeros(16000, np.float32))
             padded = np.stack([np.asarray(pad_or_trim(w, N_SAMPLES)) for w in chunk])
-            mel = log_mel_spectrogram(padded)
+            # the model decides the mel bins (large-v3 uses 128, not 80)
+            mel = log_mel_spectrogram(padded, n_mels=self.model.dims.n_mels)
             out = self._task().run(mel)
             results.extend(out[:n_real])
             i += n_real

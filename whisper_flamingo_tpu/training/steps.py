@@ -56,20 +56,33 @@ class TrainState:
 def cast_frozen_bf16(params: Any, trainable_mask: Any) -> Any:
     """Store frozen parameters in bf16 (trainable masters stay fp32).
 
-    When the compute dtype is bf16, every weight is cast to bf16 at use
-    anyway (models/whisper.linear), so a bf16 master for frozen subtrees
-    is bit-identical in the forward while halving their HBM footprint —
-    this is what lets the 2.5B-param gated large-v2 (frozen Whisper +
-    trainable gated x-attn, reference README.md:96-101) train on one
-    16 GB v5e chip. Matches the reference's fp16 halving of frozen
-    encoders at inference (demo notebook cell 17).
+    When the compute dtype is bf16, matmul/conv weights are cast to bf16
+    at use anyway (models/whisper.linear), so a bf16 master for frozen
+    subtrees is bit-identical in the forward while halving their HBM
+    footprint — this is what lets the 2.5B-param gated large-v2 (frozen
+    Whisper + trainable gated x-attn, reference README.md:96-101) train
+    on one 16 GB v5e chip. Matches the reference's fp16 halving of
+    frozen encoders at inference (demo notebook cell 17).
+
+    Leaves consumed at *float32* are exempt and stay fp32, or the cast
+    would change numerics: LayerNorm ``scale``/``bias`` (the fp32 LN
+    islands read them at full precision) and the token/positional
+    embeddings (summed in fp32 before the compute-dtype cast). They are
+    a negligible share of the parameter bytes.
     """
-    return jax.tree.map(
-        lambda train, p: p if train or p.dtype != jnp.float32
-        else p.astype(jnp.bfloat16),
-        trainable_mask,
-        params,
-    )
+    from jax.tree_util import DictKey, tree_map_with_path
+
+    fp32_consumed = {"scale", "bias", "token_embedding", "pos_embedding"}
+
+    def cast(path, train, p):
+        if train or p.dtype != jnp.float32:
+            return p
+        last = path[-1]
+        if isinstance(last, DictKey) and last.key in fp32_consumed:
+            return p
+        return p.astype(jnp.bfloat16)
+
+    return tree_map_with_path(cast, trainable_mask, params)
 
 
 def ce_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:

@@ -239,8 +239,14 @@ class Trainer:
                 os.path.join(self.cfg.check_output_dir, self.cfg.train_id),
                 monitor=self.cfg.monitor,
             )
+        # match the data pipeline's encoding: English-only (.en) models use
+        # the gpt2 vocab with a different EOT id — decoding validation hyps
+        # with the multilingual table would silently corrupt WER/CER
+        multilingual = self.dims.n_vocab >= 51865
         self.tokenizer = get_tokenizer(
-            True, language=self.cfg.lang, task="transcribe"
+            multilingual,
+            language=self.cfg.lang if multilingual else None,
+            task="transcribe" if multilingual else None,
         )
 
     # -- validation --------------------------------------------------------
