@@ -12,6 +12,7 @@ preprocessing layout (reference preparation/README.md). Set
 """
 
 import functools
+import zlib
 
 import jax
 import numpy as np
@@ -19,14 +20,12 @@ import numpy as np
 from common import (
     build_loader,
     build_model,
-    build_source,
     load_config,
     maybe_cast_frozen,
     setup_mesh,
 )
 
-from whisper_flamingo_tpu.config import TrainConfig
-from whisper_flamingo_tpu.data.dataset import SpeechDataset, SyntheticAsrSource
+from whisper_flamingo_tpu.data.dataset import SpeechDataset
 from whisper_flamingo_tpu.models.avhubert import (
     VIDEO_ENCODER_CONFIGS,
     init_video_encoder,
@@ -34,7 +33,11 @@ from whisper_flamingo_tpu.models.avhubert import (
 )
 from whisper_flamingo_tpu.tokenizer import get_tokenizer
 from whisper_flamingo_tpu.training.optim import whisper_flamingo_optimizer
-from whisper_flamingo_tpu.training.steps import TrainState, make_av_train_step, make_eval_step
+from whisper_flamingo_tpu.training.steps import (
+    TrainState,
+    make_av_eval_step,
+    make_av_train_step,
+)
 from whisper_flamingo_tpu.training.trainer import Trainer
 
 
@@ -44,11 +47,12 @@ class VideoSpeechDataset(SpeechDataset):
     video_hw: int = 88
 
     def __getitem__(self, idx):
-        feat = super().__getitem__(idx)
         ex = self.source[idx]
-        video = getattr(ex, "video", None)
+        feat = super().__getitem__(idx, ex=ex)  # one source fetch
+        video = ex.video
         if video is None:  # synthetic: derive deterministic random frames
-            rng = np.random.default_rng(hash(ex.id) % (2**31))
+            # stable digest, NOT hash(): str hashes are salted per process
+            rng = np.random.default_rng(zlib.crc32(ex.id.encode()))
             n_frames = max(int(feat["audio_frames"] // 4), 2)  # ~25 fps
             video = rng.standard_normal(
                 (n_frames, self.video_hw, self.video_hw)
@@ -111,7 +115,13 @@ def main():
 
     trainer = Trainer(
         cfg=cfg, dims=model.dims, train_step=step,
-        eval_step=make_eval_step(model.dims, dtype=cfg.compute_dtype),
+        # validation must exercise the trained AV path (video -> gated
+        # x-attn), not an audio-only forward — the monitor selects
+        # checkpoints on this loss
+        eval_step=functools.partial(
+            make_av_eval_step(model.dims, vcfg, dtype=cfg.compute_dtype),
+            video_params,
+        ),
         mesh=setup_mesh(cfg),
     )
     state = trainer.shard_state(trainer.maybe_resume(TrainState.create(model.params, tx)))

@@ -19,7 +19,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import numpy as np
 
 from whisper_flamingo_tpu.config import TrainConfig
 from whisper_flamingo_tpu.data.collator import WhisperCollator
@@ -35,8 +34,6 @@ from whisper_flamingo_tpu.data.samplers import (
     ShuffledBatchSampler,
     SortedBatchSampler,
 )
-from whisper_flamingo_tpu.models.dims import MODEL_DIMS
-from whisper_flamingo_tpu.tokenizer import get_tokenizer
 
 
 def build_source(spec: str, split: str, cfg: TrainConfig):
@@ -80,7 +77,9 @@ def build_loader(cfg: TrainConfig, split: str, tokenizer, *, training: bool,
         build_lookups,
     )
 
-    csv_key = cfg.translation_csv_train if training else cfg.translation_csv_eval
+    # keyed on the SPLIT, not the training flag: pseudo-labeling the train
+    # split runs with training=False but must still see the train CSV
+    csv_key = cfg.translation_csv_train if split == "train" else cfg.translation_csv_eval
     lookups = build_lookups(
         cfg.translation_base_dirs, [csv_key] if csv_key else []
     )

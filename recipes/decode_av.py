@@ -41,6 +41,9 @@ def main():
     parser.add_argument("--av-hubert-ckpt", default="")
     parser.add_argument("--beam-size", type=int, default=1)
     parser.add_argument("--noise-snr", type=int, default=1000)
+    parser.add_argument("--noise-wav", default="",
+                        help="babble wav mixed at --noise-snr when snr < 1000 "
+                             "(reference: single LRS3 babble file, README.md:68-78)")
     parser.add_argument("--manifest", required=True,
                         help="TSV: id, wav_path, text [, video_path]")
     parser.add_argument("--batch-size", type=int, default=8)
@@ -70,6 +73,18 @@ def main():
 
     source = ManifestAsrSource(args.manifest)
     normalizer = BasicTextNormalizer(remove_diacritics=True)
+
+    # noisy eval (the 0 dB babble protocol): refuse to silently report
+    # "noisy" numbers measured on clean audio
+    noise_wavs = None
+    if args.noise_snr < 1000:
+        if not args.noise_wav:
+            raise SystemExit("--noise-snr < 1000 requires --noise-wav")
+        from whisper_flamingo_tpu.audio import load_audio
+        from whisper_flamingo_tpu.data.noise import add_noise
+
+        noise_wavs = [load_audio(args.noise_wav)]
+        noise_rng = np.random.default_rng(0)
     options = whisper.DecodingOptions(
         language=args.lang, beam_size=args.beam_size if args.beam_size > 1 else None,
         without_timestamps=True,
@@ -79,6 +94,11 @@ def main():
     hyps, refs = [], []
     for start in range(0, len(source), args.batch_size):
         batch = [source[i] for i in range(start, min(start + args.batch_size, len(source)))]
+        if noise_wavs is not None:
+            for ex in batch:
+                ex.audio = add_noise(
+                    ex.audio * 32768.0, noise_wavs, args.noise_snr, noise_rng
+                ).astype(np.float32) / 32768.0
         mels = np.stack([
             np.asarray(whisper.log_mel_spectrogram(pad_or_trim(ex.audio), n_mels=model.dims.n_mels))
             for ex in batch

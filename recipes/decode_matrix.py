@@ -31,7 +31,19 @@ from whisper_flamingo_tpu.tokenizer import get_tokenizer
 def main():
     cfg = load_config()
     langs = str(cfg.extras.get("langs", cfg.lang)).split(",")
-    snrs = [int(s) for s in str(cfg.extras.get("snrs", "1000")).split(",")]
+    # load_config literal_evals overrides, so `snrs=1000,0` arrives as the
+    # tuple (1000, 0) — accept both that and a comma string
+    raw_snrs = cfg.extras.get("snrs", "1000")
+    if isinstance(raw_snrs, (tuple, list)):
+        snrs = [int(s) for s in raw_snrs]
+    else:
+        snrs = [int(s) for s in str(raw_snrs).split(",")]
+    if any(s < 1000 for s in snrs) and not cfg.noise_fn_val:
+        raise SystemExit(
+            "noisy decode cells (snr < 1000) need noise_fn_val (a tsv of "
+            "noise wav paths) — without it the 'noisy' rows would silently "
+            "measure clean audio"
+        )
     beam = cfg.extras.get("beam_size")
     split = cfg.extras.get("split", "validation")
     out_path = cfg.extras.get("out", f"decode_matrix_{cfg.train_id}.json")

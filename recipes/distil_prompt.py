@@ -10,12 +10,10 @@ utils.py:259-303).
 """
 
 import jax
-import numpy as np
 
 from common import build_loader, build_model, load_config, setup_mesh
 
 from whisper_flamingo_tpu.data.dataset import SpeechDataset
-from whisper_flamingo_tpu.models.whisper import ModelExtras, init_params
 from whisper_flamingo_tpu.tokenizer import get_tokenizer
 from whisper_flamingo_tpu.training.optim import encoder_frozen_mask, whisper_optimizer
 from whisper_flamingo_tpu.training.steps import (
@@ -30,12 +28,12 @@ class PromptTeacherDataset(SpeechDataset):
     """Emit both the prompted (teacher) and plain (student) token streams."""
 
     def __getitem__(self, idx):
+        ex = self.source[idx]
         saved = self.prompt_use
         self.prompt_use = False
-        feat = super().__getitem__(idx)
+        feat = super().__getitem__(idx, ex=ex)  # one source fetch
         self.prompt_use = saved
 
-        ex = self.source[idx]
         prompt = ex.prompt or (ex.translations[0] if ex.translations else "")
         if prompt:
             prompt_tokens = self.tokenizer.encode(" " + prompt.strip())[
@@ -66,13 +64,12 @@ def main():
 
     freeze = bool(cfg.freeze_encoder)
     from common import maybe_cast_frozen
-    from whisper_flamingo_tpu.training.optim import encoder_frozen_mask as _efm
 
     teacher.params = maybe_cast_frozen(
         cfg, teacher.params, jax.tree.map(lambda _: False, teacher.params)
     )
     if freeze:
-        student_params = maybe_cast_frozen(cfg, student_params, _efm(student_params))
+        student_params = maybe_cast_frozen(cfg, student_params, encoder_frozen_mask(student_params))
     tx, _ = whisper_optimizer(
         student_params, cfg.learning_rate,
         weight_decay=cfg.weight_decay, adam_epsilon=cfg.adam_epsilon,

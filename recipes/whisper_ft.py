@@ -1,5 +1,3 @@
-import jax
-
 """Audio-only / prompted Whisper fine-tuning (reference families A and B:
 `whisper_ft_librispeech.py`, `whisper_ft_taigi.py`, `whisper_ft_ml-superb.py`,
 `whisper_ft_kloka_*`, `whisper_prompt_*`).

@@ -181,3 +181,57 @@ def test_prefetch_loader_releases_producer_on_early_exit():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_collator_mixed_prompt_batch():
+    """A batch mixing prompted and unprompted rows must collate: prompt
+    fields are keyed on presence in ANY row, missing rows default to
+    prompt_lens=0 / empty prompt (regression: first-row check KeyError'd
+    or silently dropped the field)."""
+    coll = WhisperCollator(pad_multiple_frames=100, pad_multiple_tokens=8)
+    base = {"input_ids": np.zeros((80, 100), np.float32),
+            "labels": [1, 2], "dec_input_ids": [9, 1]}
+    with_prompt = dict(base, prompt_lens=3, prompt="hello")
+    without = dict(base)
+    for order in ([with_prompt, without], [without, with_prompt]):
+        batch = coll([dict(f) for f in order])
+        assert batch["prompt_lens"].tolist() in ([3, 0], [0, 3])
+        assert sorted(batch["prompt"]) == ["", "hello"]
+
+
+def test_collator_video_length_quantized():
+    """Video padding is quantized (default 50 frames) so AV batches reuse
+    compiled shapes instead of recompiling per batch."""
+    coll = WhisperCollator()
+    feats = [
+        {"input_ids": np.zeros((80, 100), np.float32), "labels": [1],
+         "dec_input_ids": [9], "video": np.zeros((63, 8, 8), np.float32)},
+        {"input_ids": np.zeros((80, 100), np.float32), "labels": [2],
+         "dec_input_ids": [9], "video": np.zeros((41, 8, 8), np.float32)},
+    ]
+    batch = coll(feats)
+    assert batch["video"].shape == (2, 100, 8, 8)  # 63 -> 100
+    assert batch["video_lens"].tolist() == [63, 41]
+
+
+def test_manifest_source_loads_video(tmp_path):
+    """A manifest with a video_path column yields AsrExample.video (the
+    AV training path; regression: real video silently replaced by
+    synthetic noise because the field never existed)."""
+    import wave
+
+    from whisper_flamingo_tpu.data.dataset import ManifestAsrSource
+
+    wav_path = tmp_path / "a.wav"
+    with wave.open(str(wav_path), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+        w.writeframes(np.zeros(1600, np.int16).tobytes())
+    vid = np.arange(5 * 4 * 4, dtype=np.float32).reshape(5, 4, 4)
+    np.save(tmp_path / "a.npy", vid)
+    manifest = tmp_path / "m.tsv"
+    manifest.write_text("id\twav_path\ttext\tvideo_path\nu0\ta.wav\thi\ta.npy\n")
+
+    src = ManifestAsrSource(str(manifest), audio_root=str(tmp_path))
+    ex = src[0]
+    assert ex.video is not None and ex.video.shape == (5, 4, 4)
+    np.testing.assert_array_equal(ex.video, vid)

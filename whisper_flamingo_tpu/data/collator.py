@@ -49,6 +49,7 @@ class WhisperCollator:
 
     pad_multiple_frames: int = 100  # mel-frame quantization (1 = batch max)
     pad_multiple_tokens: int = 8  # token-length quantization
+    pad_multiple_video: int = 50  # video-frame quantization (2 s @ 25 fps)
     max_frames: Optional[int] = 3000
     label_pad: int = LABEL_PAD
     eot: int = EOT
@@ -87,9 +88,16 @@ class WhisperCollator:
 
         if "video" in features[0]:
             # lip-video frames (T, H, W); 750-frame/30 s contract
-            # (reference whisper/audio.py:19 N_VIDEO_FRAMES)
+            # (reference whisper/audio.py:19 N_VIDEO_FRAMES). Quantize the
+            # padded length like mel frames/tokens: an exact per-batch max
+            # would give almost every batch a unique shape and recompile
+            # the jitted AV step per batch (compiles are minutes on the
+            # remote TPU link).
             vids = [np.asarray(f["video"]) for f in features]
-            max_t = min(max(v.shape[0] for v in vids), 750)
+            max_t = min(
+                _round_up(max(v.shape[0] for v in vids), self.pad_multiple_video),
+                750,
+            )
             vbatch = np.zeros((len(vids), max_t, *vids[0].shape[1:]), np.float32)
             for i, v in enumerate(vids):
                 t = min(v.shape[0], max_t)
@@ -99,12 +107,21 @@ class WhisperCollator:
                 [min(v.shape[0], max_t) for v in vids], np.int32
             )
 
-        for passthrough in ("wav_lens", "audio_frames", "prompt_lens"):
-            if passthrough in features[0]:
+        # int passthroughs: keyed on presence in ANY feature — a batch can
+        # mix prompted and unprompted rows (empty prompt -> no prompt_lens
+        # emitted, whisper_prompt semantics), and a first-row check would
+        # either KeyError or silently drop the field
+        int_defaults = {"wav_lens": 0, "audio_frames": 0, "prompt_lens": 0}
+        for passthrough, default in int_defaults.items():
+            if any(passthrough in f for f in features):
                 batch[passthrough] = np.asarray(
-                    [f[passthrough] for f in features], dtype=np.int32
+                    [f.get(passthrough, default) for f in features], dtype=np.int32
                 )
-        for strkey in ("translations", "all_translations", "prompt", "ids", "text"):
-            if strkey in features[0]:
-                batch[strkey] = [f[strkey] for f in features]
+        str_defaults = {
+            "translations": "", "all_translations": "", "prompt": "",
+            "ids": "", "text": "",
+        }
+        for strkey, default in str_defaults.items():
+            if any(strkey in f for f in features):
+                batch[strkey] = [f.get(strkey, default) for f in features]
         return batch

@@ -37,6 +37,9 @@ class AsrExample:
     id: str = ""
     translations: List[str] = field(default_factory=list)
     prompt: str = ""
+    # lip-video frames (T, H, W) float32, 25 fps — the AV surface
+    # (reference audio.py:19 N_VIDEO_FRAMES contract); None for audio-only
+    video: Optional[np.ndarray] = None
 
 
 class AsrSource:
@@ -111,12 +114,19 @@ class ManifestAsrSource(AsrSource):
         translations = [
             v for k, v in sorted(row.items()) if k.startswith("translation") and v
         ]
+        video = None
+        if row.get("video_path"):
+            # .npy lip-video features (MuAViC preprocessing output)
+            video = np.load(
+                os.path.join(self.audio_root, row["video_path"])
+            ).astype(np.float32)
         return AsrExample(
             audio=load_audio(path),
             text=row.get("text", ""),
             id=row.get("id", str(idx)),
             translations=translations,
             prompt=row.get("prompt", ""),
+            video=video,
         )
 
 
@@ -306,8 +316,12 @@ class SpeechDataset:
             min(l, self.audio_max_length) // 160 for l in self.source.lengths()
         ]
 
-    def __getitem__(self, idx: int) -> Dict[str, Any]:
-        ex = self.source[idx]
+    def __getitem__(self, idx: int, ex: Optional[AsrExample] = None) -> Dict[str, Any]:
+        # subclasses that need the raw example (video, teacher prompt) can
+        # pass their already-fetched one: sources may decode audio from
+        # disk per access, so a second fetch doubles host-side prep cost
+        if ex is None:
+            ex = self.source[idx]
         rng = np.random.default_rng(
             (self.seed * 1000003 + idx) * 1000033 + self.epoch
         )

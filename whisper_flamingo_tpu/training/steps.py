@@ -360,6 +360,35 @@ def make_av_train_step(
     return jax.jit(step)
 
 
+def make_av_eval_step(
+    dims: ModelDimensions,
+    video_cfg,
+    *,
+    dtype=jnp.float32,
+) -> Callable:
+    """Teacher-forced AV eval: the video stream is encoded and fed through
+    gated x-attn exactly as in training (no modality dropout at eval) —
+    validating an AV model audio-only would score a forward whose trained
+    gated layers contribute nothing. Returns (loss, argmax tokens);
+    bind ``video_params`` with functools.partial to fit the Trainer's
+    ``(params, batch)`` eval interface."""
+    from ..models.avhubert import video_encoder_apply
+
+    def step(video_params, params, batch):
+        vfeats = video_encoder_apply(
+            video_params, video_cfg, batch["video"], dtype=dtype
+        )
+        feats = encoder_apply(params, dims, batch["input_ids"], dtype=dtype)
+        logits, _ = decoder_apply(
+            params, dims, batch["dec_input_ids"], feats,
+            xt=vfeats[None], dtype=dtype,
+        )
+        loss = ce_loss(logits, batch["labels"])
+        return loss, jnp.argmax(logits, axis=-1)
+
+    return jax.jit(step)
+
+
 def make_eval_step(
     dims: ModelDimensions,
     *,
