@@ -235,3 +235,43 @@ def test_manifest_source_loads_video(tmp_path):
     ex = src[0]
     assert ex.video is not None and ex.video.shape == (5, 4, 4)
     np.testing.assert_array_equal(ex.video, vid)
+
+
+def test_spec_augment_jax_matches_np_statistics():
+    """The on-device mask geometry must follow the numpy/reference
+    sampling (width = the SECOND draw of each pair, zero-width skip):
+    compare the mean masked fraction over many draws (regression: the
+    jax path once masked width from the first draw — a different
+    distribution)."""
+    import jax
+
+    from whisper_flamingo_tpu.ops.spec_augment import (
+        spec_augment_jax,
+        spec_augment_np,
+    )
+
+    T, F = 200, 80
+    frames = 200
+    n = 2000
+    rng = np.random.default_rng(0)
+    x = np.ones((T, F), np.float32)
+
+    np_frac = np.mean([
+        (spec_augment_np(
+            x, frames, max_freq_width=27, n_freq_mask=1,
+            max_time_width=100, n_time_mask=1,
+            rng=np.random.default_rng(i),
+        ) == 0).mean()
+        for i in range(n)
+    ])
+    xs = np.ones((n, T, F), np.float32)
+    out = jax.jit(
+        lambda k, x, f: spec_augment_jax(
+            k, x, f, max_freq_width=27, n_freq_mask=1,
+            max_time_width=100, n_time_mask=1,
+        )
+    )(jax.random.PRNGKey(0), xs, np.full((n,), frames, np.int32))
+    jax_frac = float((np.asarray(out) == 0).mean())
+    # same sampling law -> same expected masked fraction (loose tolerance
+    # for 300-draw Monte Carlo noise)
+    assert abs(np_frac - jax_frac) < 0.02, (np_frac, jax_frac)

@@ -130,3 +130,17 @@ def test_decode_av_recipe(tmp_path, monkeypatch):
     _recipe_main("recipes/decode_av.py")()
     assert (tmp_path / "decode" / "hypo.txt").exists()
     assert (tmp_path / "decode" / "ref.txt").read_text().splitlines()[0]
+
+
+def test_decode_matrix_noisy_cells_require_noise_file(tmp_path, monkeypatch):
+    """snrs=1000,0 must parse (literal_eval makes it a tuple) and then
+    refuse to run the noisy cells without noise_fn_val — 'noisy' rows
+    silently measured on clean audio is the failure this guards."""
+    monkeypatch.chdir(ROOT)
+    monkeypatch.setattr(sys, "argv", [
+        "recipes/decode_matrix.py", "configs/smoke/trans_asr.yaml",
+        "langs=en", "snrs=1000,0", f"out={tmp_path}/m.json",
+        f"check_output_dir={tmp_path}/ckpt", f"log_output_dir={tmp_path}/logs",
+    ])
+    with pytest.raises(SystemExit, match="noise_fn_val"):
+        _recipe_main("recipes/decode_matrix.py")()
