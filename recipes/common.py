@@ -202,7 +202,21 @@ def build_conditioner(cfg: TrainConfig):
     from whisper_flamingo_tpu.models.bert import HFBertConditioner
 
     pretrained = bool(cfg.extras.get("bert_pretrained", True))
-    return HFBertConditioner(cfg.bert_encoder, pretrained=pretrained)
+    cond = HFBertConditioner(
+        cfg.bert_encoder, pretrained=pretrained,
+        hidden_size=int(cfg.bert_dim or 0),  # honored by the offline stub
+    )
+    if cond.dim != cfg.bert_dim:
+        # fail at build time with the real story, not with a shape/KeyError
+        # deep inside the jitted step (the model only creates xt_projection
+        # when bert_dim != n_text_state, so a conditioner of the wrong
+        # width cannot be silently projected)
+        raise ValueError(
+            f"conditioner '{cfg.bert_encoder}' emits {cond.dim}-dim states "
+            f"but the config says bert_dim={cfg.bert_dim}; set bert_dim to "
+            "the conditioner's true width"
+        )
+    return cond
 
 
 def make_xt_prepare(conditioner, num_langs: int):

@@ -62,6 +62,8 @@ class HFBertConditioner(TextConditioner):
         pad_multiple: int = 16,
         pretrained: bool = True,
         dtype=None,
+        hidden_size: int = 0,  # offline-fallback width (0 -> 96); a real
+        # (pretrained/cached) model's own width always wins
     ):
         import jax
         import jax.numpy as jnp
@@ -97,7 +99,8 @@ class HFBertConditioner(TextConditioner):
                 from transformers import BertConfig
 
                 config = BertConfig(
-                    vocab_size=1024, hidden_size=96, num_hidden_layers=2,
+                    vocab_size=1024, hidden_size=hidden_size or 96,
+                    num_hidden_layers=2,
                     num_attention_heads=2, intermediate_size=256,
                     max_position_embeddings=max_length,
                 )
