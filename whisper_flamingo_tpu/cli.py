@@ -65,8 +65,17 @@ def cli():
     parser.add_argument("--max_words_per_line", type=optional_int, default=None)
     parser.add_argument("--fp16", type=str2bool, default=True,
                         help="bfloat16 compute on TPU")
+    # accepted for drop-in compatibility with the reference CLI
+    # (`python -m whisper --device cuda --threads 4`); placement and host
+    # threading are XLA's job here, so both are documented no-ops
+    parser.add_argument("--device", type=str, default=None,
+                        help="ignored (XLA manages device placement)")
+    parser.add_argument("--threads", type=int, default=0,
+                        help="ignored (XLA manages host threading)")
 
     args = parser.parse_args().__dict__
+    args.pop("device")
+    args.pop("threads")
     model_name: str = args.pop("model")
     model_dir: str = args.pop("model_dir")
     output_dir: str = args.pop("output_dir")
