@@ -95,7 +95,13 @@ def main():
         o = jnp.einsum("bhqk,bhdk->bhqd", w, v)
         return x + o.transpose(0, 2, 1, 3).reshape(x.shape), None
 
+    def body_sum_only(x, kv):
+        k, v = kv  # pure HBM read floor: no attention structure at all
+        s = jnp.sum(k, axis=(1, 2, 3)) + jnp.sum(v, axis=(1, 2, 3))
+        return x + s[:, None, None].astype(x.dtype) * 0, None
+
     variants = {
+        "sum-only read floor (K^T,V^T slabs)": (body_sum_only, (kT, vT), 1),
         "unsplit (B,T,768), split/step [old]": (body_unsplit, (k3, v3), 1),
         "pre-split (B,H,T,64) [new]": (body_presplit, (k4, v4), 1),
         "K^T (B,H,64,T) + V (B,H,T,64)": (body_kt_v4, (kT, v4), 1),
