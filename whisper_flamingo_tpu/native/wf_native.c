@@ -62,8 +62,16 @@ WF_API int wf_mix_noise(
         double reduction = (max_v >= -min_v) ? (MAXI / max_v) : (MINI / min_v);
         for (int64_t i = 0; i < n; i++) out[i] = (float)(out[i] * reduction);
     }
-    /* truncate toward zero like numpy's astype(int16) */
-    for (int64_t i = 0; i < n; i++) out[i] = (float)((int16_t)out[i]);
+    /* truncate toward zero like numpy's astype(int16). Clamp first:
+     * after the reduction, fp rounding can leave a value a fraction
+     * outside [-32768, 32767], and casting such a float to int16_t is
+     * undefined behavior in C. */
+    for (int64_t i = 0; i < n; i++) {
+        double v = out[i];
+        if (v > MAXI) v = MAXI;
+        if (v < MINI) v = MINI;
+        out[i] = (float)((int16_t)v);
+    }
     return 0;
 }
 
