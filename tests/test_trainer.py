@@ -179,3 +179,28 @@ def test_remat_spec_validation():
     assert _remat_wrap(lambda x, y: (x, y), "none")
     assert _remat_wrap(lambda x, y: (x, y), "full")
     assert _remat_wrap(lambda x, y: (x, y), "dots")
+
+
+def test_trainer_tokenizer_matches_model_vocab(tmp_path):
+    """English-only (.en) dims must give the Trainer the gpt2 tokenizer
+    (eot 50256), multilingual dims the multilingual one (eot 50257) —
+    validation decodes hyps/refs with the trainer's tokenizer, so a
+    mismatch silently corrupts WER/CER (regression: it was hardcoded
+    multilingual)."""
+    en_dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=128, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=1, n_vocab=51864, n_text_ctx=448, n_text_head=2,
+        n_text_state=64, n_text_layer=1,
+    )
+
+    def make(dims):
+        cfg = TrainConfig(
+            train_id="tok", lang="en", monitor="val/loss",
+            check_output_dir=str(tmp_path), log_output_dir=str(tmp_path),
+        )
+        return Trainer(
+            cfg=cfg, dims=dims, train_step=None, eval_step=None
+        ).tokenizer  # built in __post_init__
+
+    assert make(en_dims).eot == 50256  # gpt2 vocab
+    assert make(TINY).eot == 50257  # multilingual vocab
