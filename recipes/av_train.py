@@ -78,7 +78,7 @@ def main():
     else:
         video_params = init_video_encoder(jax.random.PRNGKey(cfg.seed), vcfg)
 
-    tokenizer = get_tokenizer(model.is_multilingual, language=cfg.lang, task="transcribe")
+    tokenizer = get_tokenizer(model.is_multilingual, num_languages=model.num_languages, language=cfg.lang, task="transcribe")
     train_loader = build_loader(cfg, "train", tokenizer, training=True)
     val_loader = build_loader(cfg, "validation", tokenizer, training=False)
     for loader in (train_loader, val_loader):  # upgrade to video datasets

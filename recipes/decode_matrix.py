@@ -55,7 +55,7 @@ def main():
 
     table = {}
     for lang in langs:
-        tokenizer = get_tokenizer(model.is_multilingual, language=lang, task="transcribe")
+        tokenizer = get_tokenizer(model.is_multilingual, num_languages=model.num_languages, language=lang, task="transcribe")
         for snr in snrs:
             cell_cfg = cfg
             cell_cfg.noise_snr_eval = snr

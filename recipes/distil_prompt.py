@@ -57,7 +57,7 @@ def main():
         teacher.params, _ = load_torch_checkpoint(cfg.teacher_ckpt, teacher.dims)
     student_params = jax.tree.map(lambda x: x, teacher.params)
 
-    tokenizer = get_tokenizer(teacher.is_multilingual, language=cfg.lang, task="transcribe")
+    tokenizer = get_tokenizer(teacher.is_multilingual, num_languages=teacher.num_languages, language=cfg.lang, task="transcribe")
     train_loader = build_loader(cfg, "train", tokenizer, training=True)
     train_loader.dataset.__class__ = PromptTeacherDataset
     val_loader = build_loader(cfg, "validation", tokenizer, training=False)

@@ -37,7 +37,7 @@ def main():
     use_xt = bool(cfg.add_gated_x_attn)
 
     model = build_model(cfg)
-    tokenizer = get_tokenizer(model.is_multilingual, language=cfg.lang, task="transcribe")
+    tokenizer = get_tokenizer(model.is_multilingual, num_languages=model.num_languages, language=cfg.lang, task="transcribe")
     loader = build_loader(cfg, "train", tokenizer, training=False, translations=use_xt)
     prepare = (
         make_xt_prepare(build_conditioner(cfg), cfg.num_langs) if use_xt else None

@@ -36,7 +36,7 @@ def main():
     assert cfg.add_gated_x_attn, "trans_asr requires add_gated_x_attn: 1"
 
     model = build_model(cfg, gated=True)
-    tokenizer = get_tokenizer(model.is_multilingual, language=cfg.lang, task="transcribe")
+    tokenizer = get_tokenizer(model.is_multilingual, num_languages=model.num_languages, language=cfg.lang, task="transcribe")
     conditioner = build_conditioner(cfg)
 
     train_loader = build_loader(cfg, "train", tokenizer, training=True, translations=True)

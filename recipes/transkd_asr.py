@@ -62,7 +62,7 @@ def main():
         init_params(jax.random.PRNGKey(cfg.seed), teacher.dims, ModelExtras()),
     )
 
-    tokenizer = get_tokenizer(teacher.is_multilingual, language=cfg.lang, task="transcribe")
+    tokenizer = get_tokenizer(teacher.is_multilingual, num_languages=teacher.num_languages, language=cfg.lang, task="transcribe")
     conditioner = build_conditioner(cfg)
     train_loader = build_loader(cfg, "train", tokenizer, training=True, translations=True)
     val_loader = build_loader(cfg, "validation", tokenizer, training=False, translations=True)

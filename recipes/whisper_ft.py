@@ -32,7 +32,7 @@ def main():
     use_prompt = bool(cfg.extras.get("use_prompt", False))
 
     model = build_model(cfg, gated=False)
-    tokenizer = get_tokenizer(model.is_multilingual, language=cfg.lang, task="transcribe")
+    tokenizer = get_tokenizer(model.is_multilingual, num_languages=model.num_languages, language=cfg.lang, task="transcribe")
 
     train_loader = build_loader(cfg, "train", tokenizer, training=True, prompts=use_prompt)
     val_loader = build_loader(cfg, "validation", tokenizer, training=False, prompts=use_prompt)

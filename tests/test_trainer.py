@@ -187,11 +187,10 @@ def test_trainer_tokenizer_matches_model_vocab(tmp_path):
     validation decodes hyps/refs with the trainer's tokenizer, so a
     mismatch silently corrupts WER/CER (regression: it was hardcoded
     multilingual)."""
-    en_dims = ModelDimensions(
-        n_mels=80, n_audio_ctx=128, n_audio_state=64, n_audio_head=2,
-        n_audio_layer=1, n_vocab=51864, n_text_ctx=448, n_text_head=2,
-        n_text_state=64, n_text_layer=1,
-    )
+    import dataclasses
+
+    en_dims = dataclasses.replace(TINY, n_vocab=51864)
+    v3_dims = dataclasses.replace(TINY, n_vocab=51866)  # large-v3: +<|yue|>
 
     def make(dims):
         cfg = TrainConfig(
@@ -204,3 +203,8 @@ def test_trainer_tokenizer_matches_model_vocab(tmp_path):
 
     assert make(en_dims).eot == 50256  # gpt2 vocab
     assert make(TINY).eot == 50257  # multilingual vocab
+    # large-v3 adds a 100th language; every later special token shifts by
+    # one — the trainer must thread num_languages or timestamp_begin is
+    # off by one and timestamp tokens leak into decoded validation text
+    assert make(v3_dims).num_languages == 100
+    assert make(v3_dims).timestamp_begin == make(TINY).timestamp_begin + 1

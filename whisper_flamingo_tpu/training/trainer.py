@@ -240,11 +240,16 @@ class Trainer:
                 monitor=self.cfg.monitor,
             )
         # match the data pipeline's encoding: English-only (.en) models use
-        # the gpt2 vocab with a different EOT id — decoding validation hyps
-        # with the multilingual table would silently corrupt WER/CER
+        # the gpt2 vocab with a different EOT id, and large-v3 adds a 100th
+        # language that shifts every later special token — decoding
+        # validation hyps with the wrong table silently corrupts WER/CER
         multilingual = self.dims.n_vocab >= 51865
+        num_languages = (
+            self.dims.n_vocab - 51765 - int(multilingual) if multilingual else 99
+        )
         self.tokenizer = get_tokenizer(
             multilingual,
+            num_languages=num_languages,
             language=self.cfg.lang if multilingual else None,
             task="transcribe" if multilingual else None,
         )
