@@ -71,7 +71,7 @@ def main():
 
     from whisper_flamingo_tpu.data.dataset import ManifestAsrSource
 
-    source = ManifestAsrSource(args.manifest)
+    source = ManifestAsrSource(args.manifest, load_video=args.modalities != "asr")
     normalizer = BasicTextNormalizer(remove_diacritics=True)
 
     # noisy eval (the 0 dB babble protocol): refuse to silently report
@@ -105,8 +105,7 @@ def main():
         ])
         video = None
         if args.modalities != "asr":
-            vids = [np.load(source.rows[start + i]["video_path"])
-                    for i in range(len(batch))]
+            vids = [ex.video for ex in batch]  # loaded once by the source
             max_t = max(v.shape[0] for v in vids)
             video = np.zeros((len(vids), max_t, *vids[0].shape[1:]), np.float32)
             for i, v in enumerate(vids):

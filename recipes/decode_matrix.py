@@ -38,11 +38,13 @@ def main():
         snrs = [int(s) for s in raw_snrs]
     else:
         snrs = [int(s) for s in str(raw_snrs).split(",")]
-    if any(s < 1000 for s in snrs) and not cfg.noise_fn_val:
+    if any(s < 1000 for s in snrs) and not (
+        cfg.noise_fn_val and os.path.exists(cfg.noise_fn_val)
+    ):
         raise SystemExit(
-            "noisy decode cells (snr < 1000) need noise_fn_val (a tsv of "
-            "noise wav paths) — without it the 'noisy' rows would silently "
-            "measure clean audio"
+            "noisy decode cells (snr < 1000) need noise_fn_val pointing at "
+            "an EXISTING tsv of noise wav paths — otherwise the 'noisy' "
+            "rows would silently measure clean audio"
         )
     beam = cfg.extras.get("beam_size")
     split = cfg.extras.get("split", "validation")

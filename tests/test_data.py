@@ -275,3 +275,20 @@ def test_spec_augment_jax_matches_np_statistics():
     # same sampling law -> same expected masked fraction (loose tolerance
     # for 300-draw Monte Carlo noise)
     assert abs(np_frac - jax_frac) < 0.02, (np_frac, jax_frac)
+
+
+def test_prefetch_loader_slow_consumer_terminates():
+    """A consumer slower than the producer must still receive the
+    end-of-iteration sentinel (regression: the sentinel was dropped via
+    put_nowait when the queue was full at producer completion, hanging
+    the consumer forever after it drained the remaining items)."""
+    import time
+
+    from whisper_flamingo_tpu.data.dataset import PrefetchLoader
+
+    loader = PrefetchLoader([{"i": i} for i in range(5)], prefetch=1)
+    got = []
+    for item in loader:  # must terminate, not hang
+        time.sleep(0.05)  # slower than the producer
+        got.append(item["i"])
+    assert got == list(range(5))

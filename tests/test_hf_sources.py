@@ -120,8 +120,11 @@ def test_librispeech_defaults_and_resample(monkeypatch):
 
 
 def test_already_suffixed_name_not_double_suffixed(monkeypatch):
-    """A config naming the concrete _eval/_train dataset must not get the
-    split suffix appended again (the preset prefix-matches both)."""
+    """A config naming the concrete suffixed dataset for the REQUESTED
+    split must not get the suffix appended again; a name carrying a
+    DIFFERENT split's suffix gets this split's suffix appended so the
+    bogus combination fails loudly at load_dataset instead of silently
+    serving the wrong corpus."""
     calls = []
 
     def fake_load(name, config=None, split=None, **kw):
@@ -129,6 +132,14 @@ def test_already_suffixed_name_not_double_suffixed(monkeypatch):
         return _fake_kloka("amis_a")
 
     monkeypatch.setattr(datasets, "load_dataset", fake_load)
-    HFAsrSource("formospeech/kloka_crawled_asr_eval", split="train", config="amis_a")
-    # name untouched; HF split still remapped to the only published split
-    assert calls == [("formospeech/kloka_crawled_asr_eval", "amis_a", "train")]
+    # concrete train corpus, train split: untouched, HF split remapped
+    HFAsrSource("formospeech/kloka_crawled_asr_train", split="train", config="amis_a")
+    assert calls[-1] == ("formospeech/kloka_crawled_asr_train", "amis_a", "train")
+    # concrete eval corpus, validation split: untouched likewise
+    HFAsrSource("formospeech/kloka_crawled_asr_eval", split="validation", config="amis_a")
+    assert calls[-1] == ("formospeech/kloka_crawled_asr_eval", "amis_a", "train")
+    # MISMATCHED suffix (train corpus asked for validation): the appended
+    # suffix produces a nonexistent name -> loud failure downstream, never
+    # a silent train-as-validation read
+    HFAsrSource("formospeech/kloka_crawled_asr_train", split="validation", config="amis_a")
+    assert calls[-1] == ("formospeech/kloka_crawled_asr_train_eval", "amis_a", "train")

@@ -118,8 +118,9 @@ class WhisperCollator:
                     [f.get(passthrough, default) for f in features], dtype=np.int32
                 )
         str_defaults = {
-            "translations": "", "all_translations": "", "prompt": "",
-            "ids": "", "text": "",
+            "translations": "",
+            "all_translations": [],  # list-typed (one entry per language)
+            "prompt": "", "ids": "", "text": "",
         }
         for strkey, default in str_defaults.items():
             if any(strkey in f for f in features):

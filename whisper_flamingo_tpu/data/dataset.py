@@ -95,9 +95,13 @@ class SyntheticAsrSource(AsrSource):
 class ManifestAsrSource(AsrSource):
     """TSV/CSV manifest: columns id, wav_path, text[, translation...]."""
 
-    def __init__(self, manifest_path: str, audio_root: str = ""):
+    def __init__(self, manifest_path: str, audio_root: str = "",
+                 load_video: bool = True):
         self.rows: List[Dict[str, str]] = []
         self.audio_root = audio_root
+        # audio-only consumers can skip the ~22 MB-per-utterance lip-video
+        # .npy loads even when the manifest carries a video_path column
+        self.load_video = load_video
         with open(manifest_path, newline="") as f:
             delim = "\t" if manifest_path.endswith(".tsv") else ","
             for row in csv.DictReader(f, delimiter=delim):
@@ -115,7 +119,7 @@ class ManifestAsrSource(AsrSource):
             v for k, v in sorted(row.items()) if k.startswith("translation") and v
         ]
         video = None
-        if row.get("video_path"):
+        if self.load_video and row.get("video_path"):
             # .npy lip-video features (MuAViC preprocessing output)
             video = np.load(
                 os.path.join(self.audio_root, row["video_path"])
@@ -234,10 +238,13 @@ class HFAsrSource(AsrSource):
         if split_names and split in split_names:
             suffix, hf_split = split_names[split]
             # the preset prefix-matches, so the config may already name
-            # the concrete suffixed dataset (…_train/_eval): don't
-            # double-append the suffix — but the HF split remap still
-            # applies (these corpora only publish a "train" split)
-            if any(name.endswith(s) for s, _ in split_names.values()):
+            # the concrete suffixed dataset for THIS split: then only the
+            # HF split remaps (these corpora only publish "train"). A name
+            # carrying a DIFFERENT split's suffix still gets this split's
+            # suffix appended — the resulting nonexistent dataset fails
+            # loudly, instead of silently serving e.g. the train corpus
+            # as validation data.
+            if name.endswith(suffix):
                 split = hf_split
             else:
                 name, split = name + suffix, hf_split
@@ -447,10 +454,16 @@ class PrefetchLoader:
             except Exception as e:  # propagate to the consumer
                 error.append(e)
             finally:
-                try:
-                    q.put_nowait(sentinel)
-                except queue.Full:
-                    pass  # consumer gone; nothing is reading
+                # the sentinel must use the same stop-aware bounded put:
+                # a merely-slow consumer can have the queue full here, and
+                # dropping the sentinel would leave it blocked on q.get()
+                # forever after draining the remaining items
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

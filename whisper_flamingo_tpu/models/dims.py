@@ -24,6 +24,17 @@ class ModelDimensions:
     n_text_state: int
     n_text_layer: int
 
+    @property
+    def is_multilingual(self) -> bool:
+        return self.n_vocab >= 51865
+
+    @property
+    def num_languages(self) -> int:
+        """99 for v1/v2 vocabs, 100 for large-v3 (<|yue|>); the single
+        source of truth for the tokenizer's language count — validation
+        tokenization must never drift from decode tokenization."""
+        return self.n_vocab - 51765 - int(self.is_multilingual)
+
     def to_dict(self) -> dict:
         return asdict(self)
 

@@ -741,11 +741,11 @@ class Whisper:
 
     @property
     def is_multilingual(self) -> bool:
-        return self.dims.n_vocab >= 51865
+        return self.dims.is_multilingual
 
     @property
     def num_languages(self) -> int:
-        return self.dims.n_vocab - 51765 - int(self.is_multilingual)
+        return self.dims.num_languages
 
     def embed_audio(self, mel: jax.Array) -> jax.Array:
         return encoder_apply(self.params, self.dims, mel, dtype=self.dtype)

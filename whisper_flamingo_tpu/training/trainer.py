@@ -243,13 +243,10 @@ class Trainer:
         # the gpt2 vocab with a different EOT id, and large-v3 adds a 100th
         # language that shifts every later special token — decoding
         # validation hyps with the wrong table silently corrupts WER/CER
-        multilingual = self.dims.n_vocab >= 51865
-        num_languages = (
-            self.dims.n_vocab - 51765 - int(multilingual) if multilingual else 99
-        )
+        multilingual = self.dims.is_multilingual
         self.tokenizer = get_tokenizer(
             multilingual,
-            num_languages=num_languages,
+            num_languages=self.dims.num_languages if multilingual else 99,
             language=self.cfg.lang if multilingual else None,
             task="transcribe" if multilingual else None,
         )
