@@ -70,9 +70,11 @@ def main():
     vcfg_name = cfg.extras.get("video_encoder", "large" if "large" in cfg.model_name else "base")
     vcfg = VIDEO_ENCODER_CONFIGS[vcfg_name]
     if cfg.video_model_ckpt:
-        import torch
+        from whisper_flamingo_tpu.training.checkpoints import (
+            _torch_load_prefer_safe,
+        )
 
-        state = torch.load(cfg.video_model_ckpt, map_location="cpu", weights_only=False)
+        state = _torch_load_prefer_safe(cfg.video_model_ckpt)
         state = state.get("model", state)
         video_params = load_avhubert_torch(state, vcfg)
     else:

@@ -61,9 +61,11 @@ def main():
         add_gated_x_attn=1, num_langs=1, bert_dim=vcfg.embed_dim,
     )
     if args.av_hubert_ckpt:
-        import torch
+        from whisper_flamingo_tpu.training.checkpoints import (
+            _torch_load_prefer_safe,
+        )
 
-        state = torch.load(args.av_hubert_ckpt, map_location="cpu", weights_only=False)
+        state = _torch_load_prefer_safe(args.av_hubert_ckpt)
         video_params = load_avhubert_torch(state.get("model", state), vcfg)
     else:
         video_params = init_video_encoder(__import__("jax").random.PRNGKey(0), vcfg)

@@ -167,6 +167,26 @@ def strip_prefix(state_dict: Mapping[str, Any], prefix: str = "model.") -> Dict[
     }
 
 
+def _torch_load_prefer_safe(path: str):
+    """torch.load with ``weights_only=True`` first: plain tensor/state-dict
+    checkpoints (OpenAI ``.pt``, Lightning ``.ckpt``, fairseq dumps of
+    tensors) load fine in safe mode, which cannot execute pickled code.
+    Only fall back to the unrestricted unpickler — an arbitrary-code-
+    execution surface — with a warning naming the file."""
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            f"checkpoint {path!r} needs the unrestricted pickle loader "
+            "(weights_only=False); only load checkpoints you trust"
+        )
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
 def load_torch_checkpoint(
     path: str,
     dims: Optional[ModelDimensions] = None,
@@ -174,9 +194,7 @@ def load_torch_checkpoint(
 ) -> Tuple[Params, ModelDimensions]:
     """Read an OpenAI ``.pt`` (``{dims, model_state_dict}``) or Lightning
     ``.ckpt`` (``{state_dict}`` with ``model.`` prefixes) file."""
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = _torch_load_prefer_safe(path)
     if "model_state_dict" in ckpt:
         state = ckpt["model_state_dict"]
         if dims is None:
