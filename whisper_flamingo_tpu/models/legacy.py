@@ -22,7 +22,6 @@ model_ada is supported in the main model via
 from __future__ import annotations
 
 import math
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ lacked a sort; XLA has one).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

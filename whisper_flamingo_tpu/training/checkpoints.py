@@ -21,7 +21,6 @@ Layout translation (torch -> ours):
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, Mapping, Optional, Tuple
 
 import jax

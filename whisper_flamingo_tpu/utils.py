@@ -3,7 +3,6 @@ CLI helpers + compression_ratio; the result writers live in writers.py)."""
 
 from __future__ import annotations
 
-import gzip
 import sys
 import zlib
 from typing import Optional
