@@ -71,10 +71,10 @@ def main():
     vcfg = VIDEO_ENCODER_CONFIGS[vcfg_name]
     if cfg.video_model_ckpt:
         from whisper_flamingo_tpu.training.checkpoints import (
-            _torch_load_prefer_safe,
+            torch_load_prefer_safe,
         )
 
-        state = _torch_load_prefer_safe(cfg.video_model_ckpt)
+        state = torch_load_prefer_safe(cfg.video_model_ckpt)
         state = state.get("model", state)
         video_params = load_avhubert_torch(state, vcfg)
     else:

@@ -62,10 +62,10 @@ def main():
     )
     if args.av_hubert_ckpt:
         from whisper_flamingo_tpu.training.checkpoints import (
-            _torch_load_prefer_safe,
+            torch_load_prefer_safe,
         )
 
-        state = _torch_load_prefer_safe(args.av_hubert_ckpt)
+        state = torch_load_prefer_safe(args.av_hubert_ckpt)
         video_params = load_avhubert_torch(state.get("model", state), vcfg)
     else:
         video_params = init_video_encoder(__import__("jax").random.PRNGKey(0), vcfg)

@@ -166,17 +166,24 @@ def strip_prefix(state_dict: Mapping[str, Any], prefix: str = "model.") -> Dict[
     }
 
 
-def _torch_load_prefer_safe(path: str):
+def torch_load_prefer_safe(path: str):
     """torch.load with ``weights_only=True`` first: plain tensor/state-dict
     checkpoints (OpenAI ``.pt``, Lightning ``.ckpt``, fairseq dumps of
     tensors) load fine in safe mode, which cannot execute pickled code.
     Only fall back to the unrestricted unpickler — an arbitrary-code-
-    execution surface — with a warning naming the file."""
+    execution surface — with a warning naming the file. IO errors
+    (missing/unreadable file) propagate directly: they are not a safe-mode
+    failure and must not trigger the fallback (which would misleadingly
+    warn and re-read the file)."""
+    import pickle
+
     import torch
 
     try:
         return torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except OSError:
+        raise
+    except (pickle.UnpicklingError, RuntimeError, AttributeError, ValueError):
         import warnings
 
         warnings.warn(
@@ -193,7 +200,7 @@ def load_torch_checkpoint(
 ) -> Tuple[Params, ModelDimensions]:
     """Read an OpenAI ``.pt`` (``{dims, model_state_dict}``) or Lightning
     ``.ckpt`` (``{state_dict}`` with ``model.`` prefixes) file."""
-    ckpt = _torch_load_prefer_safe(path)
+    ckpt = torch_load_prefer_safe(path)
     if "model_state_dict" in ckpt:
         state = ckpt["model_state_dict"]
         if dims is None:
