@@ -135,3 +135,41 @@ def test_xt_decode_changes_output_when_gates_open(av_model):
     cond_open = decode(opened_model, mel, opts, xt=xt)
     base_open = decode(opened_model, mel, opts)
     assert cond_open[0].tokens != base_open[0].tokens
+
+
+def test_av_decode_test_v_matches_training_drop(av_model):
+    """decode(test_v=True) must condition on zeroed encoder *features* —
+    the same conditioning the training step's modality dropout produces
+    (training/steps.py zeroes features) — not a zeroed mel, which still
+    yields nonzero features through conv biases + posemb + LN."""
+    from whisper_flamingo_tpu.models.whisper import encoder_apply
+
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((1, 80, 3000)).astype(np.float32)
+    video = rng.standard_normal((1, 8, 48, 48)).astype(np.float32)
+    opts = DecodingOptions(
+        language="en", fp16=False, sample_len=6, without_timestamps=True
+    )
+    d = av_model.dims
+
+    # a zeroed mel does NOT produce zero features: the two definitions
+    # really differ (this is the skew the fix removes)
+    zero_mel_feats = encoder_apply(
+        av_model.whisper.params, d, jnp.zeros((1, 80, 3000), jnp.float32)
+    )
+    assert float(jnp.abs(zero_mel_feats).max()) > 0.0
+
+    got = av_model.decode(mel, opts, video=video, test_v=True)
+
+    vf = video_encoder_apply(
+        av_model.video_params, av_model.video_cfg, jnp.asarray(video),
+        dtype=av_model.whisper.dtype,
+    )
+    zero_feats = jnp.zeros((1, d.n_audio_ctx, d.n_audio_state), jnp.float32)
+    expected = decode(av_model.whisper, zero_feats, opts, xt=vf[None])
+    assert got[0].tokens == expected[0].tokens
+
+    # and the training-side definition agrees: encode(test_v=True) hands
+    # the decoder exactly these zero features
+    a_v, _ = av_model.encode(mel, video, test_v=True)
+    np.testing.assert_array_equal(np.asarray(a_v), np.asarray(zero_feats))

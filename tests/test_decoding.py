@@ -229,3 +229,23 @@ def test_prompt_length_bucketing(models, mel):
         task.tokenizer.sot_sequence_including_notimestamps
     )
     assert kept == 45
+
+
+def test_audio_features_retention_policy(models, mel):
+    """Results hold no device buffers by default; opting in returns a
+    host numpy copy of the encoder features (HBM-safe serving loops)."""
+    import jax
+
+    _, ours = models
+    opts = DecodingOptions(
+        language="en", fp16=False, sample_len=4, without_timestamps=True
+    )
+    res = decode(ours, mel, opts)
+    assert all(r.audio_features is None for r in res)
+
+    res = decode(ours, mel, opts, return_audio_features=True)
+    d = ours.dims
+    for r in res:
+        assert isinstance(r.audio_features, np.ndarray)
+        assert not isinstance(r.audio_features, jax.Array)
+        assert r.audio_features.shape == (d.n_audio_ctx, d.n_audio_state)

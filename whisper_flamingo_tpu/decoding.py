@@ -117,10 +117,24 @@ class DecodingOptions:
     # transcribe() turns it on.
     bucket_prompt_lengths: bool = False
 
+    # When True, each DecodingResult carries a host-side numpy copy of its
+    # (n_audio_ctx, n_audio_state) encoder features; by default the field
+    # is None. The reference returned the live tensor
+    # (decoding.py:117-127), but on a 16 GB chip a serving loop that
+    # retains results would pin ~7.7 MB of HBM per large-v2 result — the
+    # explicit opt-in (with a host copy, never a device buffer) makes
+    # result retention always HBM-safe.
+    return_audio_features: bool = False
+
 
 @dataclass(frozen=True)
 class DecodingResult:
-    """Parity: reference decoding.py:117-127."""
+    """Parity: reference decoding.py:117-127.
+
+    ``audio_features`` is None unless
+    ``DecodingOptions.return_audio_features`` is set, in which case it is
+    a host numpy array (never a device buffer — results are safe to
+    retain indefinitely in serving loops without accumulating HBM)."""
 
     audio_features: Optional[np.ndarray]
     language: str
@@ -453,6 +467,15 @@ class DecodingTask:
 
 
 
+    def _host_features(self, audio_features, n_audio):
+        """Per-result encoder features under the retention policy: a host
+        numpy copy when opted in, else None (device buffers are never
+        attached to results — see DecodingOptions.return_audio_features)."""
+        if self.options.return_audio_features:
+            host = np.asarray(jax.device_get(audio_features))
+            return [host[i] for i in range(n_audio)]
+        return [None] * n_audio
+
     # -- host-side finalize ------------------------------------------------
 
     def _finalize(self, out) -> Tuple[List[List[np.ndarray]], List[List[float]]]:
@@ -540,9 +563,10 @@ class DecodingTask:
             if self.options.language is None:
                 init[:, self.sot_index + 1] = np.asarray(lang_tokens).reshape(-1)
         if self.options.task == "lang_id":
+            af = self._host_features(audio_features, n_audio)
             return [
                 DecodingResult(
-                    audio_features=audio_features[i],  # device array; convert lazily
+                    audio_features=af[i],
                     language=languages[i],
                     language_probs=language_probs[i],
                 )
@@ -601,9 +625,10 @@ class DecodingTask:
             lp / (len(t) + 1) for t, lp in zip(final_tokens, final_scores)
         ]
 
+        af = self._host_features(audio_features, n_audio)
         return [
             DecodingResult(
-                audio_features=audio_features[i],  # device array; convert lazily
+                audio_features=af[i],
                 language=languages[i],
                 tokens=final_tokens[i],
                 text=texts[i],

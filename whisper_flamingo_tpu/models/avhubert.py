@@ -303,5 +303,14 @@ class AVWhisper:
                 xt = vf[None]  # one conditioning stream
         mel = jnp.asarray(mel)
         if test_v:
-            mel = jnp.zeros_like(mel)
+            # zero the encoder *features*, matching what training's
+            # modality dropout produces (training/steps.py drop_audio
+            # zeroes features). Zeroing the mel instead would still yield
+            # nonzero features (conv biases + positional embedding + LN),
+            # silently skewing train/test conditioning. Zero features of
+            # encoder-output shape take the decode path's pre-encoded
+            # branch, so the audio trunk is bypassed entirely.
+            d = self.dims
+            shape = mel.shape[:-2] + (d.n_audio_ctx, d.n_audio_state)
+            mel = jnp.zeros(shape, self.whisper.dtype)
         return decode_fn(self.whisper, mel, options, xt=xt)

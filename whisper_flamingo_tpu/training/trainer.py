@@ -426,15 +426,20 @@ def _device_batch(batch: Dict[str, Any], mesh=None) -> Dict[str, Any]:
             (np.shape(v)[0] for v in arrays.values() if np.ndim(v) >= 1), 0
         )
         if lead % d != 0:
-            # ragged final batch: repeat the last row up to divisibility
-            # (tiny weighting skew on one batch; alternative is dropping it)
+            # ragged final batch: repeat the last row up to divisibility,
+            # but mask the padded rows' labels with -100 so they drop out
+            # of every masked-mean loss/metric — the padded batch's loss
+            # is then exactly the unpadded batch's loss (no reweighting)
             pad = d - lead % d
-            arrays = {
-                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
-                if np.ndim(v) >= 1 and np.shape(v)[0] == lead
-                else v
-                for k, v in arrays.items()
-            }
+
+            def _pad_rows(k, v):
+                if np.ndim(v) >= 1 and np.shape(v)[0] == lead:
+                    v = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                    if k in ("labels", "teacher_labels"):
+                        v[lead:] = -100
+                return v
+
+            arrays = {k: _pad_rows(k, v) for k, v in arrays.items()}
         arrays = shard_batch(arrays, mesh)
     return arrays
 
