@@ -108,3 +108,92 @@ def test_srt_word_highlighting(tmp_path):
     writer2(result, "audio.wav", {"max_line_width": 6, "max_line_count": 1})
     content2 = open(tmp_path / "audio.vtt").read()
     assert content2.count("-->") >= 2  # line splitting produced cues
+
+
+def _rich_result():
+    """Multi-segment result with word timings, a >3 s pause, and mixed
+    word lengths — exercises every line-breaking rule."""
+    def words(specs, t0):
+        out, t = [], t0
+        for w, dur in specs:
+            out.append({"word": w, "start": t, "end": t + dur, "probability": 0.9})
+            t += dur
+        return out, t
+
+    w1, t = words([(" the", 0.2), (" quick", 0.3), (" brown", 0.3),
+                   (" fox", 0.2), (" jumps", 0.4)], 0.0)
+    w2, t2 = words([(" over", 0.3), (" the", 0.2), (" lazy", 0.3),
+                    (" dog", 0.2)], t + 0.1)
+    # long (>3 s) pause before the third segment
+    w3, _ = words([(" and", 0.2), (" then", 0.3), (" some", 0.2),
+                   (" considerably", 0.8), (" longer", 0.4),
+                   (" words", 0.3), (" appear", 0.4)], t2 + 3.5)
+    segs = []
+    for i, ws in enumerate([w1, w2, w3]):
+        segs.append({
+            "id": i, "seek": 0, "start": ws[0]["start"], "end": ws[-1]["end"],
+            "text": "".join(w["word"] for w in ws),
+            "tokens": [1, 2], "temperature": 0.0, "avg_logprob": -0.1,
+            "compression_ratio": 1.0, "no_speech_prob": 0.01, "words": ws,
+        })
+    return {
+        "text": "".join(s["text"] for s in segs),
+        "language": "en",
+        "segments": segs,
+    }
+
+
+@pytest.mark.parametrize("options", [
+    None,
+    {"max_line_width": 6, "max_line_count": 1},
+    {"max_line_width": 12, "max_line_count": 2},
+    {"max_line_width": 10, "max_line_count": 3, "highlight_words": True},
+    {"highlight_words": True},
+    {"max_words_per_line": 2},
+    {"max_words_per_line": 3, "max_line_width": 15, "max_line_count": 2},
+])
+@pytest.mark.parametrize("fmt", ["txt", "vtt", "srt", "tsv", "json"])
+def test_writers_reference_parity(tmp_path, fmt, options):
+    """Byte parity with the reference writers (utils.py:71-301) across the
+    subtitle option matrix, on a result that hits segment breaks, long
+    pauses, width/count line breaking, chunking, and karaoke highlighting."""
+    from conftest import import_reference_whisper
+
+    ref_utils = import_reference_whisper().utils
+    result = _rich_result()
+
+    ours_dir, ref_dir = tmp_path / "ours", tmp_path / "ref"
+    ours_dir.mkdir(), ref_dir.mkdir()
+    get_writer(fmt, str(ours_dir))(dict(result), "a.wav", options)
+    ref_utils.get_writer(fmt, str(ref_dir))(dict(result), "a.wav", options)
+
+    ours = (ours_dir / f"a.{fmt}").read_text()
+    ref = (ref_dir / f"a.{fmt}").read_text()
+    assert ours == ref, (fmt, options, ours, ref)
+
+
+def test_writers_empty_and_wordless(tmp_path):
+    """Segments without word timings and empty segment lists write without
+    errors, matching the reference's fallback (segment-level cues)."""
+    from conftest import import_reference_whisper
+
+    ref_utils = import_reference_whisper().utils
+    wordless = {
+        "text": "abc", "language": "en",
+        "segments": [{
+            "id": 0, "seek": 0, "start": 0.0, "end": 2.0, "text": " abc",
+            "tokens": [1], "temperature": 0.0, "avg_logprob": -0.1,
+            "compression_ratio": 1.0, "no_speech_prob": 0.01,
+        }],
+    }
+    empty = {"text": "", "language": "en", "segments": []}
+    for fmt in ["vtt", "srt"]:
+        for name, result in [("w", wordless), ("e", empty)]:
+            ours_dir = tmp_path / f"ours_{fmt}_{name}"
+            ref_dir = tmp_path / f"ref_{fmt}_{name}"
+            ours_dir.mkdir(), ref_dir.mkdir()
+            get_writer(fmt, str(ours_dir))(dict(result), "a.wav")
+            ref_utils.get_writer(fmt, str(ref_dir))(dict(result), "a.wav")
+            assert (ours_dir / f"a.{fmt}").read_text() == (
+                ref_dir / f"a.{fmt}"
+            ).read_text(), (fmt, name)

@@ -1,19 +1,132 @@
 """Transcription result writers: TXT / VTT / SRT / TSV / JSON.
 
-Parity with reference `/root/reference/whisper/utils.py:71-301`
-(``ResultWriter`` hierarchy and ``get_writer``), including the
-segment/word line formats and the max_line_width/max_line_count/
-highlight_words subtitle options.
+Output-format parity with the reference writer stack
+(`/root/reference/whisper/utils.py:71-301`): same file formats, same
+subtitle option semantics (``max_line_width`` / ``max_line_count`` /
+``max_words_per_line`` / ``highlight_words``), same public surface
+(``ResultWriter`` subclasses + ``get_writer``). The implementation is a
+two-phase pipeline of our own design: a word-layout pass groups word
+timings into cue blocks (lists of word records whose text may embed the
+line breaks), and a caption pass renders cue blocks into
+``(start, end, text)`` triples — including the karaoke expansion — that
+trivial per-format emitters consume. Byte parity across the option
+matrix is pinned by ``tests/test_transcribe.py::test_writers_reference_parity``.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import re
-from typing import Callable, List, Optional, TextIO
+from typing import Callable, Iterator, List, Optional, TextIO, Tuple
 
 from .utils import format_timestamp
+
+# A cue block: consecutive word records rendered as one subtitle. Word
+# text inside a block may carry an embedded "\n" marking a line break.
+Cue = List[dict]
+Caption = Tuple[str, str, str]  # (start, end, text), timestamps formatted
+
+_PAUSE_SECONDS = 3.0  # silence that forces a new cue when not preserving segments
+_UNBOUNDED = 1000  # effective "no limit" for width / words-per-line
+
+
+def _chunked_words(segments: List[dict], chunk_size: int) -> Iterator[Tuple[dict, bool]]:
+    """Walk every word timing across all segments in order.
+
+    Yields ``(record, starts_chunk)`` where ``record`` is a private copy
+    of the word dict and ``starts_chunk`` flags the first word of each
+    ``chunk_size``-word run within its segment (the ``max_words_per_line``
+    grouping; segment starts always begin a fresh chunk).
+    """
+    for segment in segments:
+        for idx, word in enumerate(segment.get("words", [])):
+            yield dict(word), idx % chunk_size == 0
+
+
+def _layout_words(
+    segments: List[dict],
+    width: int,
+    count: Optional[int],
+    chunk_size: int,
+    preserve_segments: bool,
+) -> List[Cue]:
+    """Group word timings into cue blocks under the line-breaking rules.
+
+    A word extends the current line when it fits within ``width`` and no
+    boundary interrupts; otherwise it opens a new line (embedding "\\n"
+    in its text) or — when the block already holds ``count`` lines, a
+    long pause intervenes, or a new segment begins while preserving
+    segment boundaries — closes the block and starts the next one.
+    """
+    cues: List[Cue] = []
+    block: Cue = []
+    line_len = 0  # characters on the line being filled
+    lines = 1  # lines already in the open block
+    prev_start = segments[0]["words"][0]["start"]
+
+    for record, starts_chunk in _chunked_words(segments, chunk_size):
+        pause = (not preserve_segments) and record["start"] - prev_start > _PAUSE_SECONDS
+        segment_break = starts_chunk and bool(block) and preserve_segments
+        fits = line_len + len(record["word"]) <= width
+
+        if line_len > 0 and fits and not pause and not segment_break:
+            # continue the current line
+            line_len += len(record["word"])
+        else:
+            record["word"] = record["word"].strip()
+            block_full = bool(block) and count is not None and (
+                pause or lines >= count
+            )
+            if block_full or segment_break:
+                cues.append(block)
+                block, lines = [], 1
+            elif line_len > 0:
+                # open a new line inside the same block
+                lines += 1
+                record["word"] = "\n" + record["word"]
+            line_len = len(record["word"].strip())
+        block.append(record)
+        prev_start = record["start"]
+
+    if block:
+        cues.append(block)
+    return cues
+
+
+def _underline(token: str) -> str:
+    """Wrap the visible part of a word token in ``<u>``, leaving any
+    leading whitespace (including an embedded line break) outside."""
+    body = token.lstrip()
+    pad = token[: len(token) - len(body)]
+    return f"{pad}<u>{body}</u>"
+
+
+def _render_cues(
+    cues: List[Cue], stamp: Callable[[float], str], highlight: bool
+) -> Iterator[Caption]:
+    """Render cue blocks to captions.
+
+    Plain mode emits one caption per block. Karaoke mode
+    (``highlight_words``) emits one caption per word with that word
+    underlined, plus un-highlighted hold captions covering any timing
+    gap between consecutive words.
+    """
+    for block in cues:
+        start, end = stamp(block[0]["start"]), stamp(block[-1]["end"])
+        text = "".join(w["word"] for w in block)
+        if not highlight:
+            yield start, end, text
+            continue
+        cursor = start
+        for i, word in enumerate(block):
+            w_start, w_end = stamp(word["start"]), stamp(word["end"])
+            if cursor != w_start:
+                yield cursor, w_start, text
+            yield w_start, w_end, "".join(
+                _underline(w["word"]) if j == i else w["word"]
+                for j, w in enumerate(block)
+            )
+            cursor = w_end
 
 
 class ResultWriter:
@@ -23,12 +136,9 @@ class ResultWriter:
         self.output_dir = output_dir
 
     def __call__(self, result: dict, audio_path: str, options: Optional[dict] = None, **kwargs):
-        audio_basename = os.path.basename(audio_path)
-        audio_basename = os.path.splitext(audio_basename)[0]
-        output_path = os.path.join(
-            self.output_dir, audio_basename + "." + self.extension
-        )
-        with open(output_path, "w", encoding="utf-8") as f:
+        stem = os.path.splitext(os.path.basename(audio_path))[0]
+        destination = os.path.join(self.output_dir, f"{stem}.{self.extension}")
+        with open(destination, "w", encoding="utf-8") as f:
             self.write_result(result, file=f, options=options, **kwargs)
 
     def write_result(self, result: dict, file: TextIO, options: Optional[dict] = None, **kwargs):
@@ -51,92 +161,33 @@ class SubtitlesWriter(ResultWriter):
                        max_line_width: Optional[int] = None,
                        max_line_count: Optional[int] = None,
                        highlight_words: bool = False,
-                       max_words_per_line: Optional[int] = None):
-        options = options or {}
-        max_line_width = max_line_width or options.get("max_line_width")
-        max_line_count = max_line_count or options.get("max_line_count")
-        highlight_words = highlight_words or options.get("highlight_words", False)
-        max_words_per_line = max_words_per_line or options.get("max_words_per_line")
-        preserve_segments = max_line_count is None or max_line_width is None
-        max_line_width = max_line_width or 1000
-        max_words_per_line = max_words_per_line or 1000
+                       max_words_per_line: Optional[int] = None) -> Iterator[Caption]:
+        opts = options or {}
+        width = max_line_width or opts.get("max_line_width")
+        count = max_line_count or opts.get("max_line_count")
+        highlight = highlight_words or opts.get("highlight_words", False)
+        chunk_size = max_words_per_line or opts.get("max_words_per_line")
+        # without both width and count, cue blocks follow segment boundaries
+        preserve_segments = count is None or width is None
 
-        def iterate_subtitles():
-            line_len = 0
-            line_count = 1
-            subtitle: List[dict] = []
-            last: float = result["segments"][0]["words"][0]["start"] if (
-                result["segments"] and result["segments"][0].get("words")
-            ) else 0.0
-            for segment in result["segments"]:
-                chunk_index = 0
-                words = segment.get("words", [])
-                while chunk_index < len(words):
-                    remaining_words = len(words) - chunk_index
-                    if max_words_per_line > len(words) - chunk_index:
-                        words_count = remaining_words
-                    else:
-                        words_count = max_words_per_line
-                    for i, original_timing in enumerate(
-                        words[chunk_index : chunk_index + words_count]
-                    ):
-                        timing = original_timing.copy()
-                        long_pause = not preserve_segments and timing["start"] - last > 3.0
-                        has_room = line_len + len(timing["word"]) <= max_line_width
-                        seg_break = i == 0 and len(subtitle) > 0 and preserve_segments
-                        if line_len > 0 and has_room and not long_pause and not seg_break:
-                            line_len += len(timing["word"])
-                        else:
-                            timing["word"] = timing["word"].strip()
-                            if (
-                                len(subtitle) > 0
-                                and max_line_count is not None
-                                and (long_pause or line_count >= max_line_count)
-                                or seg_break
-                            ):
-                                yield subtitle
-                                subtitle = []
-                                line_count = 1
-                            elif line_len > 0:
-                                line_count += 1
-                                timing["word"] = "\n" + timing["word"]
-                            line_len = len(timing["word"].strip())
-                        subtitle.append(timing)
-                        last = timing["start"]
-                    chunk_index += words_count
-            if len(subtitle) > 0:
-                yield subtitle
-
-        if result["segments"] and result["segments"][0].get("words"):
-            for subtitle in iterate_subtitles():
-                subtitle_start = self.format_timestamp(subtitle[0]["start"])
-                subtitle_end = self.format_timestamp(subtitle[-1]["end"])
-                subtitle_text = "".join([word["word"] for word in subtitle])
-                if highlight_words:
-                    last = subtitle_start
-                    all_words = [timing["word"] for timing in subtitle]
-                    for i, this_word in enumerate(subtitle):
-                        start = self.format_timestamp(this_word["start"])
-                        end = self.format_timestamp(this_word["end"])
-                        if last != start:
-                            yield last, start, subtitle_text
-                        yield start, end, "".join(
-                            [
-                                re.sub(r"^(\s*)(.*)$", r"\1<u>\2</u>", word)
-                                if j == i
-                                else word
-                                for j, word in enumerate(all_words)
-                            ]
-                        )
-                        last = end
-                else:
-                    yield subtitle_start, subtitle_end, subtitle_text
+        segments = result["segments"]
+        if segments and segments[0].get("words"):
+            cues = _layout_words(
+                segments,
+                width or _UNBOUNDED,
+                count,
+                chunk_size or _UNBOUNDED,
+                preserve_segments,
+            )
+            yield from _render_cues(cues, self.format_timestamp, highlight)
         else:
-            for segment in result["segments"]:
-                segment_start = self.format_timestamp(segment["start"])
-                segment_end = self.format_timestamp(segment["end"])
-                segment_text = segment["text"].strip().replace("-->", "->")
-                yield segment_start, segment_end, segment_text
+            # no word timings: one caption per segment
+            for segment in segments:
+                yield (
+                    self.format_timestamp(segment["start"]),
+                    self.format_timestamp(segment["end"]),
+                    segment["text"].strip().replace("-->", "->"),
+                )
 
     def format_timestamp(self, seconds: float) -> str:
         return format_timestamp(
@@ -190,22 +241,23 @@ class WriteJSON(ResultWriter):
         json.dump(result, file, default=float)
 
 
-def get_writer(output_format: str, output_dir: str) -> Callable:
-    writers = {
-        "txt": WriteTXT,
-        "vtt": WriteVTT,
-        "srt": WriteSRT,
-        "tsv": WriteTSV,
-        "json": WriteJSON,
-    }
+_WRITERS = {
+    "txt": WriteTXT,
+    "vtt": WriteVTT,
+    "srt": WriteSRT,
+    "tsv": WriteTSV,
+    "json": WriteJSON,
+}
 
+
+def get_writer(output_format: str, output_dir: str) -> Callable:
     if output_format == "all":
-        all_writers = [writer(output_dir) for writer in writers.values()]
+        every = [cls(output_dir) for cls in _WRITERS.values()]
 
         def write_all(result: dict, file: TextIO, options=None, **kwargs):
-            for writer in all_writers:
+            for writer in every:
                 writer(result, file, options, **kwargs)
 
         return write_all
 
-    return writers[output_format](output_dir)
+    return _WRITERS[output_format](output_dir)
