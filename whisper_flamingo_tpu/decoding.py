@@ -641,6 +641,28 @@ class DecodingTask:
         ]
 
 
+def compiled_program_stats() -> Dict[str, int]:
+    """Count of DISTINCT compiled programs built in this process, per
+    builder (= lru-cache misses; hits reuse an existing executable).
+
+    On this image a fresh decode-program compile is 1-5 min through the
+    remote tunnel, so long-form transcription budgets compiles explicitly:
+    prompt lengths are bucketed to powers of two
+    (``DecodingOptions.bucket_prompt_lengths``) and each (temperature,
+    prompt-bucket) pair compiles at most once per process. See
+    docs/performance.md "Compile-time management" for the expected
+    counts; tests/test_transcribe.py asserts the bound.
+    """
+    from .timing import _alignment_program
+
+    return {
+        "decode_programs": _make_decode_program.cache_info().misses,
+        "encode_programs": _make_encode_program.cache_info().misses,
+        "lang_id_programs": _make_lang_id_program.cache_info().misses,
+        "alignment_programs": _alignment_program.cache_info().misses,
+    }
+
+
 def decode(
     model: "Whisper",
     mel,
