@@ -112,8 +112,20 @@ def main():
             video = np.zeros((len(vids), max_t, *vids[0].shape[1:]), np.float32)
             for i, v in enumerate(vids):
                 video[i, : v.shape[0]] = v
+        fbanks = None
+        if args.modalities == "avsr" and vcfg.audio_feat_dim is not None:
+            # the avsr contract feeds the (noise-mixed) audio into the
+            # AV-HuBERT audio trunk as stacked log filterbanks at the
+            # video rate (reference README.md:130-154)
+            from whisper_flamingo_tpu.models.avhubert import stacked_fbank_features
+
+            fbs = [stacked_fbank_features(ex.audio) for ex in batch]
+            fbanks = np.zeros((len(fbs), video.shape[1], fbs[0].shape[1]), np.float32)
+            for i, fb in enumerate(fbs):
+                t = min(len(fb), video.shape[1])
+                fbanks[i, :t] = fb[:t]
         results = av.decode(
-            mels, options, video=video,
+            mels, options, video=video, audio=fbanks,
             test_a=args.modalities == "asr", test_v=args.modalities == "vsr",
         )
         for ex, r in zip(batch, results):

@@ -173,3 +173,82 @@ def test_av_decode_test_v_matches_training_drop(av_model):
     # the decoder exactly these zero features
     a_v, _ = av_model.encode(mel, video, test_v=True)
     np.testing.assert_array_equal(np.asarray(a_v), np.asarray(zero_feats))
+
+
+def test_avsr_decode_with_audio_trunk():
+    """The avsr contract end to end: AVWhisper with an audio+video
+    AV-HuBERT trunk conditions the decode on the fused stream; test_a
+    keeps audio-only AV-HuBERT conditioning (reference README.md:130-154
+    --modalities asr/vsr/avsr protocol)."""
+    from whisper_flamingo_tpu.models.avhubert import stacked_fbank_features
+
+    vcfg = VIDEO_ENCODER_CONFIGS["debug-av"]
+    dims = MODEL_DIMS["debug"]
+    extras = ModelExtras(add_gated_x_attn=1, num_langs=1, bert_dim=vcfg.embed_dim)
+    whisper = Whisper(
+        dims=dims, params=init_params(jax.random.PRNGKey(0), dims, extras),
+        extras=extras,
+    )
+    av = AVWhisper(
+        whisper=whisper,
+        video_params=init_video_encoder(jax.random.PRNGKey(1), vcfg),
+        video_cfg=vcfg,
+    )
+
+    rng = np.random.default_rng(4)
+    mel = rng.standard_normal((1, 80, 3000)).astype(np.float32)
+    video = rng.standard_normal((1, 8, 48, 48)).astype(np.float32)
+    wav = rng.standard_normal(16000).astype(np.float32) * 0.1
+    fbank = stacked_fbank_features(wav)[None, :8, : vcfg.audio_feat_dim]
+    # debug-av uses a tiny audio_feat_dim; slice the fbank accordingly
+    opts = DecodingOptions(
+        language="en", fp16=False, sample_len=5, without_timestamps=True
+    )
+
+    res_av = av.decode(mel, opts, video=video, audio=fbank)
+    assert len(res_av) == 1 and isinstance(res_av[0].text, str)
+
+    # audio-only AV-HuBERT conditioning (asr-input mode): select by
+    # omitting the video input
+    res_a = av.decode(mel, opts, audio=fbank)
+    assert len(res_a) == 1 and isinstance(res_a[0].text, str)
+
+    # test_a zeroes the conditioning stream but keeps it present —
+    # identical to training's drop_video definition
+    _, cond_dropped = av.encode(mel, video, fbank, test_a=True)
+    assert cond_dropped is not None
+    assert float(jnp.abs(cond_dropped).max()) == 0.0
+
+    # both-modality conditioning differs from video-only
+    _, cond_both = av.encode(mel, video, fbank)
+    _, cond_v = av.encode(mel, video)
+    assert float(np.max(np.abs(np.asarray(cond_both) - np.asarray(cond_v)))) > 1e-6
+
+
+def test_av_train_step_with_fbank():
+    """make_av_train_step consumes the avsr fbank stream when present."""
+    import jax.numpy as jnp2
+
+    from whisper_flamingo_tpu.training.optim import whisper_optimizer
+    from whisper_flamingo_tpu.training.steps import TrainState, make_av_train_step
+
+    vcfg = VIDEO_ENCODER_CONFIGS["debug-av"]
+    dims = MODEL_DIMS["debug"]
+    extras = ModelExtras(add_gated_x_attn=1, num_langs=1, bert_dim=vcfg.embed_dim)
+    params = init_params(jax.random.PRNGKey(0), dims, extras)
+    vparams = init_video_encoder(jax.random.PRNGKey(1), vcfg)
+    tx, _ = whisper_optimizer(params, 1e-4, total_steps=4)
+    step = make_av_train_step(
+        dims, vcfg, tx, dtype=jnp2.float32, remat=False
+    )
+    rng = np.random.default_rng(5)
+    batch = {
+        "input_ids": rng.standard_normal((2, 80, 100)).astype(np.float32),
+        "dec_input_ids": rng.integers(0, 100, (2, 8)).astype(np.int32),
+        "labels": rng.integers(0, 100, (2, 8)).astype(np.int32),
+        "video": rng.standard_normal((2, 6, 48, 48)).astype(np.float32),
+        "fbank": rng.standard_normal((2, 6, vcfg.audio_feat_dim)).astype(np.float32),
+    }
+    state = TrainState.create(params, tx)
+    state, metrics = step(state, vparams, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))

@@ -81,3 +81,61 @@ def test_fairseq_key_mapping():
     out = video_encoder_apply(params, VCFG, jnp.asarray(frames))
     assert out.shape == (1, 4, VCFG.embed_dim)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_avsr_audio_trunk_key_mapping():
+    """The avsr trunk's fairseq keys (feature_extractor_audio.proj, the
+    top-level fused-feature layer_norm — distinct from encoder.layer_norm
+    — and post_extract_proj) land in the right slots and the fused
+    forward runs with either or both modalities."""
+    import jax.numpy as jnp
+
+    from whisper_flamingo_tpu.models.avhubert import avhubert_encoder_apply
+
+    cfg = VIDEO_ENCODER_CONFIGS["debug-av"]
+    rng = np.random.default_rng(1)
+    D, A = cfg.embed_dim, cfg.audio_feat_dim
+    state = _fake_fairseq_state(rng)
+    state["feature_extractor_audio.proj.weight"] = rng.standard_normal((D, A)).astype(np.float32)
+    state["feature_extractor_audio.proj.bias"] = rng.standard_normal((D,)).astype(np.float32)
+    state["layer_norm.weight"] = rng.standard_normal((2 * D,)).astype(np.float32)
+    state["layer_norm.bias"] = rng.standard_normal((2 * D,)).astype(np.float32)
+    state["post_extract_proj.weight"] = rng.standard_normal((D, 2 * D)).astype(np.float32)
+    state["post_extract_proj.bias"] = rng.standard_normal((D,)).astype(np.float32)
+
+    params = load_avhubert_torch(state, cfg)
+    np.testing.assert_allclose(
+        np.asarray(params["proj_audio"]["w"]),
+        state["feature_extractor_audio.proj.weight"].T,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["fuse_ln"]["scale"]), state["layer_norm.weight"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["post_proj"]["w"]), state["post_extract_proj.weight"].T
+    )
+    # fused LN is NOT the transformer's final LN
+    assert params["fuse_ln"]["scale"].shape == (2 * D,)
+
+    video = rng.standard_normal((1, 4, 48, 48)).astype(np.float32)
+    fbank = rng.standard_normal((1, 4, A)).astype(np.float32)
+    both = avhubert_encoder_apply(params, cfg, video=jnp.asarray(video), audio=jnp.asarray(fbank))
+    v_only = avhubert_encoder_apply(params, cfg, video=jnp.asarray(video))
+    a_only = avhubert_encoder_apply(params, cfg, audio=jnp.asarray(fbank))
+    assert both.shape == v_only.shape == a_only.shape == (1, 4, D)
+    # the audio stream genuinely participates in the fusion
+    assert float(np.max(np.abs(np.asarray(both) - np.asarray(v_only)))) > 1e-6
+    assert float(np.max(np.abs(np.asarray(both) - np.asarray(a_only)))) > 1e-6
+
+
+def test_stacked_fbank_features():
+    """1 s of 16 kHz audio -> 25 fps stacked 104-dim features (26 mels x
+    4-frame stack), zero-padding the ragged tail group."""
+    from whisper_flamingo_tpu.models.avhubert import stacked_fbank_features
+
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal(16000).astype(np.float32) * 0.1
+    feats = stacked_fbank_features(wav)
+    assert feats.shape[1] == 104
+    assert 24 <= feats.shape[0] <= 26  # ~25 fps
+    assert np.isfinite(feats).all()

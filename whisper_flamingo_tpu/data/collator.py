@@ -106,6 +106,17 @@ class WhisperCollator:
             batch["video_lens"] = np.asarray(
                 [min(v.shape[0], max_t) for v in vids], np.int32
             )
+            if "fbank" in features[0]:
+                # stacked log-filterbank (T, 104) at the 25 fps video
+                # rate (the AV-HuBERT avsr audio stream) — pad to the
+                # SAME quantized length so the two modalities stay
+                # frame-aligned through the fusion concat
+                fbs = [np.asarray(f["fbank"], np.float32) for f in features]
+                fbatch = np.zeros((len(fbs), max_t, fbs[0].shape[1]), np.float32)
+                for i, fb in enumerate(fbs):
+                    t = min(fb.shape[0], max_t)
+                    fbatch[i, :t] = fb[:t]
+                batch["fbank"] = fbatch
 
         # int passthroughs: keyed on presence in ANY feature — a batch can
         # mix prompted and unprompted rows (empty prompt -> no prompt_lens

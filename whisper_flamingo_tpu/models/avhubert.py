@@ -48,7 +48,16 @@ from .whisper import (
 @dataclass(frozen=True)
 class VideoEncoderConfig:
     """AV-HuBERT encoder shape. large_noise_pt_noise_ft_433h: 24 layers,
-    1024 dim, 16 heads; base: 12 layers, 768 dim, 12 heads."""
+    1024 dim, 16 heads; base: 12 layers, 768 dim, 12 heads.
+
+    ``audio_feat_dim`` enables the AV-HuBERT *audio* trunk (the
+    ``--modalities avsr`` contract, reference README.md:130-154): stacked
+    log-filterbank features (26 mels x 4-frame stack = 104 at 25 fps)
+    projected to the embed dim and fused with the video stream before the
+    transformer — ``modality_fuse="concat"`` (the released checkpoints'
+    setting: concat to 2D, LayerNorm(2D), Linear(2D -> D)) or ``"add"``.
+    ``None`` keeps the legacy video-only trunk.
+    """
 
     embed_dim: int = 1024
     n_layers: int = 24
@@ -58,14 +67,26 @@ class VideoEncoderConfig:
     conv_pos_groups: int = 16
     frontend_dim: int = 512
     layer_norm_first: bool = True
+    audio_feat_dim: Optional[int] = 104
+    modality_fuse: str = "concat"
+
+    @property
+    def fused_dim(self) -> int:
+        if self.audio_feat_dim is None or self.modality_fuse == "add":
+            return self.embed_dim
+        return 2 * self.embed_dim
 
 
 VIDEO_ENCODER_CONFIGS = {
     "large": VideoEncoderConfig(),
     "base": VideoEncoderConfig(embed_dim=768, n_layers=12, n_heads=12, ffn_dim=3072,
                                layer_norm_first=False),
+    # video-only trunk (upstream's --modalities vsr checkpoints)
     "debug": VideoEncoderConfig(embed_dim=64, n_layers=2, n_heads=2, ffn_dim=128,
-                                conv_pos=8, conv_pos_groups=2),
+                                conv_pos=8, conv_pos_groups=2, audio_feat_dim=None),
+    # tiny audio+video trunk for tests
+    "debug-av": VideoEncoderConfig(embed_dim=64, n_layers=2, n_heads=2, ffn_dim=128,
+                                   conv_pos=8, conv_pos_groups=2, audio_feat_dim=8),
 }
 
 
@@ -83,16 +104,53 @@ def _conv_pos_embed(p: Params, x: jax.Array, cfg: VideoEncoderConfig) -> jax.Arr
     return jax.nn.gelu(out, approximate=False)
 
 
-def video_encoder_apply(
+def avhubert_encoder_apply(
     params: Params,
     cfg: VideoEncoderConfig,
-    frames: jax.Array,
+    video: Optional[jax.Array] = None,
+    audio: Optional[jax.Array] = None,
     *,
     dtype=jnp.float32,
 ) -> jax.Array:
-    """(B, T, H, W) lip crops -> (B, T, embed_dim) video features."""
-    feats = visual_frontend_apply(params["frontend"], frames, dtype=dtype)
-    x = linear(params["proj"], feats.astype(dtype))
+    """AV-HuBERT encoder over either or both modalities.
+
+    ``video``: (B, T, H, W) lip crops; ``audio``: (B, T, audio_feat_dim)
+    stacked log-filterbank features at the 25 fps video rate (see
+    :func:`stacked_fbank_features`). A missing modality contributes
+    zeros, matching AV-HuBERT's modality-dropout/inference semantics
+    (``--modalities vsr/asr/avsr``, reference README.md:130-154): the
+    fused feature is cat([audio, video]) -> LayerNorm(2D) ->
+    Linear(2D -> D) for ``modality_fuse="concat"``.
+    Returns (B, T, embed_dim)."""
+    if video is None and audio is None:
+        raise ValueError("at least one of video/audio must be given")
+
+    vfeat = None
+    if video is not None:
+        feats = visual_frontend_apply(params["frontend"], video, dtype=dtype)
+        vfeat = linear(params["proj"], feats.astype(dtype))
+
+    if cfg.audio_feat_dim is None:
+        if vfeat is None:
+            raise ValueError("video-only trunk (audio_feat_dim=None) needs video")
+        x = vfeat
+    else:
+        afeat = None
+        if audio is not None:
+            afeat = linear(params["proj_audio"], audio.astype(dtype))
+        if vfeat is None:
+            vfeat = jnp.zeros_like(afeat)
+        if afeat is None:
+            afeat = jnp.zeros_like(vfeat)
+        if cfg.modality_fuse == "concat":
+            # audio stream leads: AV-HuBERT fuses cat([audio, video])
+            x = jnp.concatenate([afeat, vfeat], axis=-1)
+        else:  # "add"
+            x = afeat + vfeat
+        x = layer_norm(params["fuse_ln"], x)
+        if "post_proj" in params:
+            x = linear(params["post_proj"], x)
+
     x = x + _conv_pos_embed(params["pos_conv"], x, cfg)
     if not cfg.layer_norm_first:
         x = layer_norm(params["ln_pre"], x)
@@ -115,6 +173,71 @@ def video_encoder_apply(
     if cfg.layer_norm_first:
         x = layer_norm(params["ln_post"], x)
     return x
+
+
+def video_encoder_apply(
+    params: Params,
+    cfg: VideoEncoderConfig,
+    frames: jax.Array,
+    *,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """(B, T, H, W) lip crops -> (B, T, embed_dim); video-only entry
+    (``--modalities vsr``). With an audio trunk configured, the audio
+    stream contributes zeros, per AV-HuBERT's missing-modality rule."""
+    return avhubert_encoder_apply(params, cfg, video=frames, dtype=dtype)
+
+
+def stacked_fbank_features(
+    audio: "np.ndarray", sample_rate: int = 16000, *,
+    n_filters: int = 26, stack_order: int = 4,
+) -> "np.ndarray":
+    """Waveform -> (T_25fps, n_filters*stack_order) stacked log filterbank.
+
+    AV-HuBERT's audio frontend (the ``--modalities avsr`` input): 26-mel
+    log filterbank at 100 fps (25 ms window / 10 ms hop, HTK mel scale,
+    power spectrum over a 512-point rFFT, 0.97 pre-emphasis — the
+    python_speech_features ``logfbank`` defaults), then every
+    ``stack_order``=4 consecutive frames concatenated to one 104-dim
+    vector at the 25 fps video rate (av_hubert's utils stacker,
+    zero-padding the tail frame group). Host-side numpy (data-prep path,
+    like the reference's loader)."""
+    audio = np.asarray(audio, np.float32)
+    if audio.ndim != 1:
+        audio = audio.reshape(-1)
+    # pre-emphasis
+    emph = np.concatenate([audio[:1], audio[1:] - 0.97 * audio[:-1]])
+    win, hop, nfft = int(0.025 * sample_rate), int(0.01 * sample_rate), 512
+    n_frames = 1 + max(0, int(np.ceil((len(emph) - win) / hop)))
+    pad = (n_frames - 1) * hop + win - len(emph)
+    emph = np.pad(emph, (0, max(0, pad)))
+    idx = np.arange(win)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = emph[idx]
+    power = np.abs(np.fft.rfft(frames, nfft)) ** 2 / nfft  # (T, 257)
+
+    # HTK mel filterbank, lowfreq 0 .. highfreq sr/2
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10 ** (m / 2595.0) - 1.0)
+
+    mel_pts = mel_to_hz(np.linspace(0.0, hz_to_mel(sample_rate / 2), n_filters + 2))
+    bins = np.floor((nfft + 1) * mel_pts / sample_rate).astype(int)
+    fbank = np.zeros((n_filters, nfft // 2 + 1), np.float32)
+    for i in range(n_filters):
+        lo, ctr, hi = bins[i], bins[i + 1], bins[i + 2]
+        for b in range(lo, ctr):
+            fbank[i, b] = (b - lo) / max(ctr - lo, 1)
+        for b in range(ctr, hi):
+            fbank[i, b] = (hi - b) / max(hi - ctr, 1)
+    feats = power @ fbank.T
+    feats = np.log(np.where(feats == 0, np.finfo(np.float32).eps, feats))
+
+    if len(feats) % stack_order:
+        res = stack_order - len(feats) % stack_order
+        feats = np.concatenate([feats, np.zeros((res, n_filters), feats.dtype)])
+    return feats.reshape(-1, stack_order * n_filters).astype(np.float32)
 
 
 def init_video_encoder(key: jax.Array, cfg: VideoEncoderConfig) -> Params:
@@ -154,6 +277,13 @@ def init_video_encoder(key: jax.Array, cfg: VideoEncoderConfig) -> Params:
         "blocks": blocks,
         "ln_post" if cfg.layer_norm_first else "ln_pre": ln(D),
     }
+    if cfg.audio_feat_dim is not None:
+        params["proj_audio"] = lin(
+            jax.random.fold_in(key, 101), cfg.audio_feat_dim, D
+        )
+        params["fuse_ln"] = ln(cfg.fused_dim)
+        if cfg.fused_dim != D:
+            params["post_proj"] = lin(jax.random.fold_in(key, 102), cfg.fused_dim, D)
     return params
 
 
@@ -220,6 +350,20 @@ def load_avhubert_torch(state: Dict[str, Any], cfg: VideoEncoderConfig) -> Param
     if "feature_extractor_video.proj.weight" in state:
         params["proj"]["w"] = t(state["feature_extractor_video.proj.weight"]).T
         params["proj"]["b"] = t(state["feature_extractor_video.proj.bias"])
+
+    # --- audio trunk (avsr): AVHubertModel's feature_extractor_audio,
+    # top-level fused-feature layer_norm (NOT encoder.layer_norm), and
+    # post_extract_proj (concat 2D -> D) ---
+    if cfg.audio_feat_dim is not None:
+        if "feature_extractor_audio.proj.weight" in state:
+            params["proj_audio"]["w"] = t(state["feature_extractor_audio.proj.weight"]).T
+            params["proj_audio"]["b"] = t(state["feature_extractor_audio.proj.bias"])
+        if "layer_norm.weight" in state:
+            params["fuse_ln"]["scale"] = t(state["layer_norm.weight"])
+            params["fuse_ln"]["bias"] = t(state["layer_norm.bias"])
+        if "post_extract_proj.weight" in state and "post_proj" in params:
+            params["post_proj"]["w"] = t(state["post_extract_proj.weight"]).T
+            params["post_proj"]["b"] = t(state["post_extract_proj.bias"])
     return jax.tree.map(jnp.asarray, params)
 
 
@@ -247,10 +391,30 @@ class AVWhisper:
     def dims(self) -> ModelDimensions:
         return self.whisper.dims
 
+    def _conditioning(self, video, audio, *, dtype):
+        """The gated-x-attn conditioning stream from the AV-HuBERT trunk.
+
+        Modality availability selects the AV-HuBERT input mode
+        (``--modalities vsr/asr/avsr``): whichever of video / stacked-
+        fbank audio is given feeds the trunk, the missing one contributes
+        zeros pre-fuse (AV-HuBERT's own missing-modality rule). ``audio``
+        only participates when the trunk is configured
+        (``audio_feat_dim``). Returns None when nothing conditions."""
+        a_in = audio if self.video_cfg.audio_feat_dim is not None else None
+        if video is None and a_in is None:
+            return None
+        return avhubert_encoder_apply(
+            self.video_params, self.video_cfg,
+            video=jnp.asarray(video) if video is not None else None,
+            audio=jnp.asarray(a_in) if a_in is not None else None,
+            dtype=dtype,
+        )
+
     def encode(
         self,
         mel: jax.Array,
         video: Optional[jax.Array] = None,
+        audio: Optional[jax.Array] = None,
         *,
         test_a: bool = False,
         test_v: bool = False,
@@ -259,11 +423,15 @@ class AVWhisper:
         dtype=jnp.float32,
     ):
         """Returns (audio_features, video_features-or-None) applying the
-        modality masks: ``test_a`` drops video, ``test_v`` drops audio;
-        during training, modality dropout per prob_av/prob_a."""
+        modality masks: ``test_a`` ZEROES the conditioning stream (shape
+        preserved — identical to training's drop_video, so gated x-attn
+        still sees a present-but-zero stream), ``test_v`` zeroes the
+        Whisper audio features; during training, modality dropout per
+        prob_av/prob_a. ``audio`` optionally feeds the AV-HuBERT audio
+        trunk (avsr)."""
         from .whisper import encoder_apply
 
-        drop_video = test_a or video is None
+        drop_video = test_a or (video is None and audio is None)
         drop_audio = test_v
 
         if training and rng is not None and video is not None:
@@ -278,29 +446,31 @@ class AVWhisper:
         if isinstance(drop_audio, jax.Array) or drop_audio:
             audio_features = jnp.where(drop_audio, 0.0, audio_features)
 
-        video_features = None
-        if video is not None:
-            video_features = video_encoder_apply(
-                self.video_params, self.video_cfg, video, dtype=dtype
-            )
-            if isinstance(drop_video, jax.Array) or drop_video:
-                video_features = jnp.where(drop_video, 0.0, video_features)
+        video_features = self._conditioning(video, audio, dtype=dtype)
+        if video_features is not None and (
+            isinstance(drop_video, jax.Array) or drop_video
+        ):
+            video_features = jnp.where(drop_video, 0.0, video_features)
         return audio_features, video_features
 
-    def decode(self, mel, options, video=None, test_a: bool = False, test_v: bool = False):
+    def decode(self, mel, options, video=None, audio=None,
+               test_a: bool = False, test_v: bool = False):
         """AV decode: parity surface with reference
         ``whisper.decode(model, mel, options, x_v, test_v, test_a)``
-        (decoding.py:801-838)."""
+        (decoding.py:801-838); ``audio`` adds the AV-HuBERT audio-trunk
+        stream (``--modalities avsr``, reference README.md:130-154)."""
         from ..decoding import decode as decode_fn
 
         xt = None
-        if video is not None and not test_a:
-            vf = video_encoder_apply(
-                self.video_params, self.video_cfg, jnp.asarray(video),
-                dtype=self.whisper.dtype,
-            )
-            if vf.ndim == 3:
-                xt = vf[None]  # one conditioning stream
+        vf = self._conditioning(video, audio, dtype=self.whisper.dtype)
+        if vf is not None and test_a:
+            # zero the conditioning FEATURES, keeping the stream present —
+            # the same definition training's drop_video applies
+            # (training/steps.py), so train and decode see identical
+            # conditioning under the same flag
+            vf = jnp.zeros_like(vf)
+        if vf is not None and vf.ndim == 3:
+            xt = vf[None]  # one conditioning stream
         mel = jnp.asarray(mel)
         if test_v:
             # zero the encoder *features*, matching what training's

@@ -318,17 +318,22 @@ def make_av_train_step(
     Video features are computed inside the compiled step; modality
     dropout follows ``prob_av`` (both) / ``prob_a`` (audio only) /
     remainder (video only) — reference model_all encoder contract
-    (SURVEY.md §2.4).
+    (SURVEY.md §2.4). When the batch carries ``fbank`` (stacked
+    log-filterbank at the video rate) and the encoder config has an
+    audio trunk, the AV-HuBERT audio stream joins the fusion
+    (``--modalities avsr``).
     """
-    from ..models.avhubert import video_encoder_apply
+    from ..models.avhubert import avhubert_encoder_apply
 
     def step(state: TrainState, video_params, batch: Dict[str, jax.Array], rng):
         u = jax.random.uniform(rng, ())
         drop_video = (u >= prob_av) & (u < prob_av + prob_a)
         drop_audio = u >= prob_av + prob_a
 
-        vfeats = video_encoder_apply(
-            video_params, video_cfg, batch["video"], dtype=dtype
+        vfeats = avhubert_encoder_apply(
+            video_params, video_cfg, video=batch["video"],
+            audio=batch.get("fbank") if video_cfg.audio_feat_dim is not None else None,
+            dtype=dtype,
         )
         if freeze_video:
             vfeats = jax.lax.stop_gradient(vfeats)
@@ -372,11 +377,13 @@ def make_av_eval_step(
     gated layers contribute nothing. Returns (loss, argmax tokens);
     bind ``video_params`` with functools.partial to fit the Trainer's
     ``(params, batch)`` eval interface."""
-    from ..models.avhubert import video_encoder_apply
+    from ..models.avhubert import avhubert_encoder_apply
 
     def step(video_params, params, batch):
-        vfeats = video_encoder_apply(
-            video_params, video_cfg, batch["video"], dtype=dtype
+        vfeats = avhubert_encoder_apply(
+            video_params, video_cfg, video=batch["video"],
+            audio=batch.get("fbank") if video_cfg.audio_feat_dim is not None else None,
+            dtype=dtype,
         )
         feats = encoder_apply(params, dims, batch["input_ids"], dtype=dtype)
         logits, _ = decoder_apply(
