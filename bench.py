@@ -146,6 +146,35 @@ def main() -> None:
     train_ms, train_mfu = _train_bench(dims, params, max(iters // 2, 2))
     print(f"train: {train_ms:.1f} ms/step mfu={train_mfu:.3f}", file=sys.stderr)
 
+    # flagship: the reference's published protocol on its published model
+    # size — large-v2 greedy AND beam-15 (README.md:96-101,113-117), with
+    # the same full-token-budget guard, in the driver-verified artifact
+    # (VERDICT r2 #2). Same-chip sequential run after freeing the small
+    # model's buffers.
+    flagship: dict = {}
+    flagship_name = os.environ.get("WF_BENCH_FLAGSHIP", "large-v2")
+    if flagship_name:
+        del model, params
+        try:
+            ldims = MODEL_DIMS[flagship_name]
+            lparams = jax.jit(lambda k: init_params(k, ldims))(jax.random.PRNGKey(0))
+            jax.block_until_ready(lparams)
+            lmodel = Whisper(dims=ldims, params=lparams, dtype=jnp.bfloat16)
+            lg_rtf, _ = _decode_bench(
+                lmodel, mel, sample_len, None, max(iters // 3, 2), eot
+            )
+            print(f"{flagship_name} greedy: rtf={lg_rtf:.1f}", file=sys.stderr)
+            lb_rtf, _ = _decode_bench(lmodel, mel, sample_len, 15, 2, eot)
+            print(f"{flagship_name} beam15: rtf={lb_rtf:.1f}", file=sys.stderr)
+            key = flagship_name.replace("-", "_").replace(".", "_")
+            flagship = {
+                f"{key}_greedy_rtf_b{batch}": round(lg_rtf, 3),
+                f"{key}_beam15_rtf_b{batch}": round(lb_rtf, 3),
+            }
+        except Exception as e:  # flagship failure must not lose the headline
+            flagship = {"flagship_error": f"{type(e).__name__}: {e}"}
+            print(f"flagship bench failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -158,6 +187,7 @@ def main() -> None:
                 "beam15_tokens_per_sec": round(beam_tok_s, 1),
                 f"train_step_ms_{model_name}_b{batch}": round(train_ms, 2),
                 "train_mfu_v5e": round(train_mfu, 4),
+                **flagship,
                 "decode_budget_guard": f"full {sample_len} tokens/segment (EOT suppressed)",
             }
         )

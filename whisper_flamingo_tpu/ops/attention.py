@@ -83,11 +83,28 @@ def qkv_attention(
 def _flash_attention(qh, kh, vh):
     """Pallas TPU flash attention over (B, H, T, Dh); None if unavailable.
 
-    The library's default block sizes measured ~4x slower than tuned ones
-    at Whisper's 1500-frame encoder shape (v5e); we use block_q=512 /
-    block_kv=1536-ish tiles and pad the sequence to the block multiple
-    with segment-id masking (pad tokens never attend or get attended).
+    At Whisper's d_head=64 this routes to the in-tree fused kernel
+    (:mod:`ops.flash64`): its full-KV-in-VMEM forward with the softmax
+    normalization folded into the narrow output is at forward parity with
+    the tuned library kernel, and its custom-VJP backward (P recomputed
+    from the saved row logsumexp, dK/dV accumulated across q-tiles in
+    VMEM) measures ~19% faster fwd+bwd (2.93 vs 3.64 ms/op at
+    B8/H12/T1500, v5e slope A/B — tools/flash64_bench.py).
+
+    Other head sizes use the library kernel with tuned block sizes
+    (the library defaults measured ~4x slower at the 1500-frame shape):
+    block_q=512 / block_kv=full, padding to the block multiple with
+    segment-id masking (pad tokens never attend or get attended).
     """
+    if jax.devices()[0].platform != "tpu":
+        return None
+    if qh.shape[-1] == 64:
+        try:
+            from .flash64 import flash64_attention
+
+            return flash64_attention(qh, kh, vh)
+        except Exception:
+            pass  # fall through to the library kernel
     try:
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes,
@@ -95,8 +112,6 @@ def _flash_attention(qh, kh, vh):
             flash_attention,
         )
     except Exception:
-        return None
-    if jax.devices()[0].platform != "tpu":
         return None
     try:
         b, h, t, _ = qh.shape
