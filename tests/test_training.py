@@ -184,3 +184,36 @@ def test_cast_frozen_bf16_forward_bit_identical():
         return np.asarray(logits)
 
     np.testing.assert_array_equal(fwd(params), fwd(cast))
+
+
+def test_kd_cross_size_teacher():
+    """Distil-whisper-style pair: a LARGER gated teacher distills into a
+    smaller plain student (shared vocab); feature sharing across unequal
+    encoder widths is rejected loudly."""
+    import dataclasses
+
+    import pytest
+
+    big = dataclasses.replace(
+        TINY, n_audio_state=96, n_text_state=96, n_audio_head=3, n_text_head=3
+    )
+    rng = np.random.default_rng(3)
+    extras = ModelExtras(add_gated_x_attn=1, num_langs=1, bert_dim=32)
+    teacher = init_params(jax.random.PRNGKey(0), big, extras)
+    student = init_params(jax.random.PRNGKey(1), TINY)
+    tx, _ = whisper_optimizer(student, 1e-4, total_steps=100)
+    step = make_kd_train_step(
+        TINY, tx, teacher_dims=big, dtype=jnp.float32, remat=False,
+    )
+    state = TrainState.create(student, tx)
+    batch = _batch(rng)
+    batch["xt"] = rng.standard_normal((1, 2, 5, 32)).astype(np.float32)
+    state, metrics = step(state, teacher, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["kd"]) >= 0
+
+    with pytest.raises(ValueError, match="matching encoder widths"):
+        make_kd_train_step(
+            TINY, tx, teacher_dims=big,
+            freeze_student_encoder=True, share_teacher_features=True,
+        )

@@ -164,6 +164,7 @@ def make_kd_train_step(
     freeze_student_encoder: bool = False,
     share_teacher_features: bool = False,
     teacher_uses_xt: bool = True,
+    teacher_dims: ModelDimensions = None,
     dtype=jnp.bfloat16,
     remat=True,  # False | True/'full' | a jax.checkpoint_policies name (e.g. 'dots')
 ) -> Callable:
@@ -174,15 +175,27 @@ def make_kd_train_step(
     ``share_teacher_features`` reuses the teacher's encoder output for the
     student when the student's encoder is frozen
     (`transkd-asr_librispeech.py:315-320`).
+
+    ``teacher_dims`` allows a LARGER teacher than the student
+    (distil-whisper-style cross-size distillation; the KD loss only needs
+    a shared vocab). Feature sharing requires same-size encoders.
     """
+    teacher_dims = teacher_dims or dims
+    if share_teacher_features and teacher_dims.n_audio_state != dims.n_audio_state:
+        raise ValueError(
+            "share_teacher_features needs matching encoder widths "
+            f"(teacher {teacher_dims.n_audio_state} vs student {dims.n_audio_state})"
+        )
+    if teacher_dims.n_vocab != dims.n_vocab:
+        raise ValueError("KD requires a shared vocabulary")
 
     def step(state: TrainState, teacher_params, batch: Dict[str, jax.Array]):
         teacher_feats = encoder_apply(
-            teacher_params, dims, batch["input_ids"], dtype=dtype, remat=remat
+            teacher_params, teacher_dims, batch["input_ids"], dtype=dtype, remat=remat
         )
         teacher_logits, _ = decoder_apply(
             teacher_params,
-            dims,
+            teacher_dims,
             batch["dec_input_ids"],
             teacher_feats,
             xt=batch.get("xt") if teacher_uses_xt else None,
