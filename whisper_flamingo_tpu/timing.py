@@ -10,6 +10,14 @@ Rebuild of reference `/root/reference/whisper/timing.py:154-385`:
   wavefront) into word boundaries;
 - :func:`merge_punctuations` and :func:`add_word_timestamps` with the
   reference's sentence/segment boundary duration hacks intact.
+
+Provenance note: the alignment computation is a redesign (one fused
+jitted program per token bucket instead of hooks + eager host math);
+``merge_punctuations`` / ``add_word_timestamps`` are near-verbatim ports
+— the boundary hacks (punctuation gluing, anomalous-duration clamps,
+segment-edge snapping) ARE the word-timestamp output spec, so they are
+retained as spec logic rather than re-derived, pinned by
+tests/test_timing.py.
 """
 
 from __future__ import annotations

@@ -7,6 +7,15 @@ same fallback thresholds (compression ratio / avg logprob / no-speech),
 segmentation and seek-advance rules, and word-timestamp hook. The outer
 loop is host-side control (one iteration per 30 s window); each window
 decode is a single compiled TPU program via :mod:`decoding`.
+
+Provenance note: the device-side half of this module (compiled window
+decodes, power-of-two prompt bucketing, the compile-budget guard) is a
+TPU-first redesign; the host-side segmentation/seek state machine
+(timestamp-pair slicing, seek-advance, prompt-reset rules) deliberately
+follows the reference statement-for-statement — those rules ARE the
+output spec (any deviation changes segment boundaries and therefore
+WER protocol results), so they are ported as spec logic rather than
+re-derived, and pinned by tests/test_transcribe.py.
 """
 
 from __future__ import annotations
