@@ -108,3 +108,42 @@ def test_ragged_batch_loss_unchanged():
         loss_padded, _ = step(shard_params(params, mesh), padded)
 
     np.testing.assert_allclose(float(loss_padded), float(loss_ref), rtol=1e-6)
+
+
+def test_shard_map_attention_no_allgather():
+    """A Pallas attention kernel under a sharded mesh must run per-shard,
+    not replicated: without the shard_map wrap, XLA all-gathers the
+    operands and every device computes the full batch (measured: 12
+    all-gathers per call). The wrap removes every all-gather and keeps
+    numerics identical. (Real-pod behavior; exercised here with the
+    interpret-mode kernel on the virtual mesh.)"""
+    from functools import partial
+
+    from whisper_flamingo_tpu.ops.attention import shard_map_attention
+    from whisper_flamingo_tpu.ops.flash64 import flash64_attention
+
+    kernel = partial(flash64_attention, interpret=True)
+    mesh = make_mesh(4, 2)
+    rng = np.random.default_rng(0)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((8, 2, 640, 64)).astype(np.float32) * 0.3)
+        for _ in range(3)
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    qs = jax.device_put(q, NamedSharding(mesh, P("data", "model")))
+    ks = jax.device_put(k, NamedSharding(mesh, P("data", "model")))
+    vs = jax.device_put(v, NamedSharding(mesh, P("data", "model")))
+
+    with jax.set_mesh(mesh):
+        f = jax.jit(lambda a, b, c: shard_map_attention(kernel, a, b, c))
+        hlo = f.lower(qs, ks, vs).compile().as_text()
+        assert "all-gather" not in hlo
+        out = f(qs, ks, vs)
+
+    expected = kernel(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-6)
+
+    # no mesh active: the wrap is a transparent pass-through
+    direct = shard_map_attention(kernel, q, k, v)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(expected), atol=1e-6)

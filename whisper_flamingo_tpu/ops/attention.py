@@ -80,6 +80,41 @@ def qkv_attention(
     return out
 
 
+def shard_map_attention(fn, qh, kh, vh):
+    """Run an attention kernel per-shard under the ambient mesh.
+
+    A Pallas custom call has no SPMD partitioning rule: with sharded
+    operands XLA all-gathers them and runs the kernel REPLICATED on
+    every device (measured: 12 all-gathers for one sharded call on an
+    8-way mesh). When an explicit mesh is active (``jax.set_mesh``, the
+    Trainer's mode) this wraps the kernel in ``jax.shard_map`` over the
+    batch (data) and head (model — the Megatron head-parallel layout)
+    axes so each device computes only its shard; no collectives are
+    needed inside non-causal attention (T and Dh stay unsharded).
+    Falls back to calling ``fn`` directly (old behavior) when no mesh is
+    active or the axes don't divide.
+    """
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+    except Exception:
+        mesh = None
+    if mesh is None or mesh.empty:
+        return fn(qh, kh, vh)
+    from jax.sharding import PartitionSpec as P
+
+    shape = dict(mesh.shape)
+    b, h = qh.shape[:2]
+    data = "data" if shape.get("data", 1) > 1 and b % shape["data"] == 0 else None
+    model = "model" if shape.get("model", 1) > 1 and h % shape["model"] == 0 else None
+    if data is None and model is None:
+        return fn(qh, kh, vh)
+    spec = P(data, model)
+    wrapped = jax.shard_map(
+        fn, mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False
+    )
+    return wrapped(qh, kh, vh)
+
+
 def _flash_attention(qh, kh, vh):
     """Pallas TPU flash attention over (B, H, T, Dh); None if unavailable.
 
@@ -95,6 +130,9 @@ def _flash_attention(qh, kh, vh):
     (the library defaults measured ~4x slower at the 1500-frame shape):
     block_q=512 / block_kv=full, padding to the block multiple with
     segment-id masking (pad tokens never attend or get attended).
+
+    Under an active mesh, the kernel runs per-shard via
+    :func:`shard_map_attention`.
     """
     if jax.devices()[0].platform != "tpu":
         return None
@@ -102,7 +140,7 @@ def _flash_attention(qh, kh, vh):
         try:
             from .flash64 import flash64_attention
 
-            return flash64_attention(qh, kh, vh)
+            return shard_map_attention(flash64_attention, qh, kh, vh)
         except Exception:
             pass  # fall through to the library kernel
     try:
@@ -113,7 +151,7 @@ def _flash_attention(qh, kh, vh):
         )
     except Exception:
         return None
-    try:
+    def library_flash(qh, kh, vh):
         b, h, t, _ = qh.shape
         pad = (-t) % 512
         segment_ids = None
@@ -145,6 +183,9 @@ def _flash_attention(qh, kh, vh):
             segment_ids=segment_ids, block_sizes=bs,
         )
         return out[:, :, :t] if pad else out
+
+    try:
+        return shard_map_attention(library_flash, qh, kh, vh)
     except Exception:
         return None
 

@@ -167,6 +167,7 @@ def make_kd_train_step(
     teacher_dims: ModelDimensions = None,
     dtype=jnp.bfloat16,
     remat=True,  # False | True/'full' | a jax.checkpoint_policies name (e.g. 'dots')
+    donate: bool = False,
 ) -> Callable:
     """TransKD distillation step (family D).
 
@@ -228,9 +229,13 @@ def make_kd_train_step(
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         return new_state, {"loss": loss, "ce": ce, "kd": kd}
 
-    # no donation: the student state may alias teacher params (student is
-    # typically initialized from the teacher), and teacher args are live
-    return jax.jit(step)
+    # donation is opt-in: the student state may alias teacher params
+    # (student is typically initialized from the teacher), in which case
+    # donating the state would invalidate the live teacher buffers. Pass
+    # donate=True when the student was created independently — on a
+    # 16 GB chip the in-place master/moment update halves the optimizer
+    # transient and is what lets the larger student sizes fit.
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def make_prompt_kd_train_step(
