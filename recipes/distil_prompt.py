@@ -77,6 +77,7 @@ def main():
         trainable_mask=encoder_frozen_mask(student_params) if freeze else None,
         max_grad_norm=cfg.max_grad_norm,
         accumulate_steps=cfg.gradient_accumulation_steps,
+        optimizer=cfg.optimizer,
     )
     kd_step = make_prompt_kd_train_step(
         teacher.dims, tx, alpha=cfg.alpha, beta=cfg.beta,

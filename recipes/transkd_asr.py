@@ -32,18 +32,26 @@ from whisper_flamingo_tpu.training.trainer import Trainer
 
 def init_student_from_teacher(teacher_params, student_params):
     """Copy everything except gated-x-attn weights (strict encoder /
-    strict=False decoder semantics, reference :611-623)."""
+    strict=False decoder semantics, reference :611-623).
+
+    True copies (not aliases): the student state must own its buffers so
+    the KD train step can donate it (in-place master/moment updates —
+    required headroom for medium/large students on one 16 GB chip)
+    without invalidating the live teacher tree."""
     import jax.numpy as jnp
 
+    def copy(t):
+        return jax.tree.map(lambda x: jnp.asarray(x).copy(), t)
+
     student = jax.tree.map(lambda x: x, student_params)
-    student["encoder"] = jax.tree.map(jnp.asarray, teacher_params["encoder"])
+    student["encoder"] = copy(teacher_params["encoder"])
     t_dec = teacher_params["decoder"]
     s_dec = student["decoder"]
     for key in ("token_embedding", "pos_embedding", "ln"):
-        s_dec[key] = jax.tree.map(jnp.asarray, t_dec[key])
+        s_dec[key] = copy(t_dec[key])
     for key in s_dec["blocks"]:
         if key != "gated":
-            s_dec["blocks"][key] = jax.tree.map(jnp.asarray, t_dec["blocks"][key])
+            s_dec["blocks"][key] = copy(t_dec["blocks"][key])
     return student
 
 
@@ -86,6 +94,7 @@ def main():
         trainable_mask=encoder_frozen_mask(student_params) if freeze else None,
         max_grad_norm=cfg.max_grad_norm,
         accumulate_steps=cfg.gradient_accumulation_steps,
+        optimizer=cfg.optimizer,
     )
     kd_step = make_kd_train_step(
         teacher.dims, tx,
@@ -93,6 +102,9 @@ def main():
         freeze_student_encoder=freeze,
         share_teacher_features=freeze,
         dtype=cfg.compute_dtype, remat=cfg.remat,
+        # safe: init_student_from_teacher makes true copies, so the
+        # student state owns its buffers (no teacher aliasing)
+        donate=True,
     )
     prepare = make_xt_prepare(conditioner, cfg.num_langs)
 

@@ -52,6 +52,7 @@ def main():
         trainable_mask=encoder_frozen_mask(model.params) if freeze else None,
         max_grad_norm=cfg.max_grad_norm,
         accumulate_steps=cfg.gradient_accumulation_steps,
+        optimizer=cfg.optimizer,
     )
     step = make_ce_train_step(
         model.dims, tx, freeze_encoder=freeze, dtype=cfg.compute_dtype,

@@ -120,6 +120,40 @@ def test_kd_train_step_runs():
     assert float(metrics["kd"]) >= 0
 
 
+def test_adafactor_optimizer():
+    """optimizer="adafactor": trains, and optimizer state is a small
+    fraction of AdamW's 8 bytes/param (the knob that fits the flagship
+    KD pair on one 16 GB chip — docs/performance.md)."""
+    # state size: check at a real-model-sized leaf (adafactor only factors
+    # dims >= 128, so TINY's matrices would not factor)
+    big = {"mlp": {"w": jnp.zeros((1280, 5120))}}
+
+    def state_bytes(tx):
+        st = tx.init(big)
+        return sum(
+            l.nbytes for l in jax.tree.leaves(st) if hasattr(l, "nbytes")
+        )
+
+    tx_ab, _ = whisper_optimizer(big, 1e-3, total_steps=100, optimizer="adafactor")
+    tx_wb, _ = whisper_optimizer(big, 1e-3, total_steps=100)
+    n_param_bytes = sum(l.nbytes for l in jax.tree.leaves(big))
+    assert state_bytes(tx_wb) >= 2 * n_param_bytes * 0.99  # mu + nu, fp32
+    assert state_bytes(tx_ab) < 0.01 * n_param_bytes  # factored nu only
+
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    tx_a, _ = whisper_optimizer(params, 1e-3, total_steps=100, optimizer="adafactor")
+    step = make_ce_train_step(TINY, tx_a, dtype=jnp.float32, remat=False, donate=False)
+    state = TrainState.create(params, tx_a)
+    batch = _batch(np.random.default_rng(0))
+    before = jax.tree.leaves(state.params)[0].copy()
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert not np.allclose(jax.tree.leaves(state.params)[0], before)
+
+    with pytest.raises(ValueError):
+        whisper_optimizer(params, 1e-3, optimizer="sgd")
+
+
 def test_gradient_accumulation():
     """optax.MultiSteps: params change only every k micro-steps."""
     params = init_params(jax.random.PRNGKey(0), TINY)

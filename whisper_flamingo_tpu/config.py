@@ -42,6 +42,9 @@ class TrainConfig:
     resume_training: bool = False
 
     # optimization
+    # "adamw" (reference parity) or "adafactor" (factored second moments,
+    # ~0 optimizer-state HBM — fits 2x gated large-v2 KD on one 16 GB chip)
+    optimizer: str = "adamw"
     learning_rate: float = 1e-5
     weight_decay: float = 0.01
     adam_epsilon: float = 1e-8

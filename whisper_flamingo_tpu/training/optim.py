@@ -95,21 +95,41 @@ def whisper_optimizer(
     trainable_mask=None,
     max_grad_norm: float | None = 1.0,
     accumulate_steps: int = 1,
+    optimizer: str = "adamw",
 ):
     """AdamW + linear warmup/decay, with the reference's no-decay split.
 
     ``trainable_mask`` optionally freezes subtrees (e.g. the encoder);
     ``accumulate_steps`` wraps the update in optax.MultiSteps.
+
+    ``optimizer="adafactor"`` swaps the inner AdamW for Adafactor with
+    factored second moments and no momentum — optimizer state shrinks
+    from 8 bytes/param to ~0.01, which is what lets the flagship
+    teacher+student KD pair (2x gated large-v2) co-reside on one 16 GB
+    v5e chip (fp32 Adam moments alone exceed HBM there; see
+    docs/performance.md).  The reference has no equivalent knob — it
+    rented 4x48 GB GPUs instead (transkd-asr_librispeech.py:203-257).
     """
     schedule = linear_warmup_schedule(learning_rate, warmup_steps, total_steps)
-    tx = optax.adamw(
-        schedule,
-        b1=0.9,
-        b2=0.999,
-        eps=adam_epsilon,
-        weight_decay=weight_decay,
-        mask=no_decay_mask(params),
-    )
+    if optimizer == "adafactor":
+        tx = optax.adafactor(
+            schedule,
+            multiply_by_parameter_scale=False,
+            momentum=None,
+            weight_decay_rate=weight_decay if weight_decay else None,
+            weight_decay_mask=no_decay_mask(params) if weight_decay else None,
+        )
+    elif optimizer == "adamw":
+        tx = optax.adamw(
+            schedule,
+            b1=0.9,
+            b2=0.999,
+            eps=adam_epsilon,
+            weight_decay=weight_decay,
+            mask=no_decay_mask(params),
+        )
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r} (adamw|adafactor)")
     if max_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
     if trainable_mask is not None:
