@@ -214,6 +214,34 @@ def test_collator_video_length_quantized():
     assert batch["video_lens"].tolist() == [63, 41]
 
 
+def test_collator_mixed_modality_rows():
+    """Any-row keying for video/fbank: a batch mixing rows with and
+    without a modality zero-fills the missing rows (modality drop)
+    instead of KeyError-ing or silently dropping the field on a
+    first-row check."""
+    coll = WhisperCollator()
+    with_av = {
+        "input_ids": np.zeros((80, 100), np.float32), "labels": [1],
+        "dec_input_ids": [9],
+        "video": np.ones((40, 8, 8), np.float32),
+        "fbank": np.ones((40, 104), np.float32),
+    }
+    without = {
+        "input_ids": np.zeros((80, 100), np.float32), "labels": [2],
+        "dec_input_ids": [9],
+    }
+    for order in ([with_av, without], [without, with_av]):
+        batch = coll([dict(f) for f in order])
+        i_av = 0 if order[0] is with_av else 1
+        assert batch["video"].shape[0] == 2
+        assert batch["fbank"].shape == (2, batch["video"].shape[1], 104)
+        assert batch["video_lens"].tolist()[i_av] == 40
+        assert batch["video_lens"].tolist()[1 - i_av] == 0
+        assert batch["video"][1 - i_av].sum() == 0.0
+        assert batch["fbank"][1 - i_av].sum() == 0.0
+        assert batch["fbank"][i_av, :40].sum() > 0
+
+
 def test_manifest_source_loads_video(tmp_path):
     """A manifest with a video_path column yields AsrExample.video (the
     AV training path; regression: real video silently replaced by

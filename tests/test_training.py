@@ -140,6 +140,38 @@ def test_adafactor_optimizer():
     assert state_bytes(tx_wb) >= 2 * n_param_bytes * 0.99  # mu + nu, fp32
     assert state_bytes(tx_ab) < 0.01 * n_param_bytes  # factored nu only
 
+    # weight decay must be DECOUPLED AND lr-scheduled (AdamW semantics),
+    # not optax.adafactor's flat per-step weight_decay_rate: with zero
+    # gradient and warmup lr=0 the update must be exactly zero, and at
+    # lr>0 it must equal -lr * wd * param.
+    wd, lr = 0.01, 1e-3
+    tx_d, sched = whisper_optimizer(
+        big, lr, weight_decay=wd, warmup_steps=10, total_steps=100,
+        optimizer="adafactor", max_grad_norm=None,
+    )
+    p0 = {"mlp": {"w": jnp.ones((1280, 5120))}}
+    st = tx_d.init(p0)
+    zero_g = jax.tree.map(jnp.zeros_like, p0)
+    upd, st = tx_d.update(zero_g, st, p0)  # step 0: warmup lr == 0
+    assert float(jnp.abs(upd["mlp"]["w"]).max()) == 0.0
+    for i in range(1, 11):
+        upd, st = tx_d.update(zero_g, st, p0)
+    expected = -float(sched(10)) * wd  # param == 1.0
+    np.testing.assert_allclose(
+        np.asarray(upd["mlp"]["w"])[:2, :2], expected, rtol=1e-5
+    )
+
+    # composes with a frozen-subtree mask (multi_transform MaskedNode)
+    pf = {"encoder": {"w": jnp.ones((4, 4))}, "decoder": {"w": jnp.ones((4, 4))}}
+    fmask = {"encoder": {"w": False}, "decoder": {"w": True}}
+    tx_f, _ = whisper_optimizer(
+        pf, 1e-3, total_steps=10, trainable_mask=fmask, optimizer="adafactor"
+    )
+    stf = tx_f.init(pf)
+    updf, _ = tx_f.update(jax.tree.map(jnp.ones_like, pf), stf, pf)
+    assert float(jnp.abs(updf["encoder"]["w"]).max()) == 0.0
+    assert float(jnp.abs(updf["decoder"]["w"]).max()) > 0.0
+
     params = init_params(jax.random.PRNGKey(0), TINY)
     tx_a, _ = whisper_optimizer(params, 1e-3, total_steps=100, optimizer="adafactor")
     step = make_ce_train_step(TINY, tx_a, dtype=jnp.float32, remat=False, donate=False)

@@ -68,7 +68,7 @@ def slope(make, f, *args):
 
 
 def main():
-    from whisper_flamingo_tpu.ops.attention import _flash_attention
+    from whisper_flamingo_tpu.ops.attention import _library_flash_attention
     from whisper_flamingo_tpu.ops.flash64 import flash64_attention
 
     key = jax.random.PRNGKey(0)
@@ -76,12 +76,12 @@ def main():
     kh = jax.random.normal(key, (B, H, T, D), jnp.bfloat16) * 0.3
     vh = jax.random.normal(key, (B, H, T, D), jnp.bfloat16)
 
-    print(f"fwd  library: {slope(chained_fwd, _flash_attention, qh, kh, vh):7.2f} ms/op")
+    print(f"fwd  library: {slope(chained_fwd, _library_flash_attention, qh, kh, vh):7.2f} ms/op")
     print(f"fwd  flash64: {slope(chained_fwd, flash64_attention, qh, kh, vh):7.2f} ms/op")
-    print(f"fwd+bwd library: {slope(chained_grad, _flash_attention, qh, kh, vh):7.2f} ms/op")
+    print(f"fwd+bwd library: {slope(chained_grad, _library_flash_attention, qh, kh, vh):7.2f} ms/op")
     print(f"fwd+bwd flash64: {slope(chained_grad, flash64_attention, qh, kh, vh):7.2f} ms/op")
 
-    o1 = np.asarray(jax.jit(_flash_attention)(qh, kh, vh), np.float32)
+    o1 = np.asarray(jax.jit(_library_flash_attention)(qh, kh, vh), np.float32)
     o2 = np.asarray(jax.jit(flash64_attention)(qh, kh, vh), np.float32)
     print("fwd max |lib - new|:", float(np.max(np.abs(o1 - o2))))
 

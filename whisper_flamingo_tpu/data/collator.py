@@ -86,19 +86,32 @@ class WhisperCollator:
                 value = dict(token_streams)[k]
                 batch[k] = _pad_tokens([list(f[k]) for f in features], max_len, value)
 
-        if "video" in features[0]:
+        if any("video" in f for f in features):
             # lip-video frames (T, H, W); 750-frame/30 s contract
             # (reference whisper/audio.py:19 N_VIDEO_FRAMES). Quantize the
             # padded length like mel frames/tokens: an exact per-batch max
             # would give almost every batch a unique shape and recompile
             # the jitted AV step per batch (compiles are minutes on the
-            # remote TPU link).
-            vids = [np.asarray(f["video"]) for f in features]
+            # remote TPU link). Any-row keying, like the passthroughs
+            # below: a row missing the modality contributes zero frames
+            # (video_lens 0 — the modality-drop convention), instead of a
+            # first-row check that would KeyError or drop the field.
+            hw = next(
+                np.asarray(f["video"]).shape[1:] for f in features if "video" in f
+            )
+            vids = [
+                np.asarray(f["video"])
+                if "video" in f
+                else np.zeros((0, *hw), np.float32)
+                for f in features
+            ]
             max_t = min(
-                _round_up(max(v.shape[0] for v in vids), self.pad_multiple_video),
+                _round_up(
+                    max(max(v.shape[0] for v in vids), 1), self.pad_multiple_video
+                ),
                 750,
             )
-            vbatch = np.zeros((len(vids), max_t, *vids[0].shape[1:]), np.float32)
+            vbatch = np.zeros((len(vids), max_t, *hw), np.float32)
             for i, v in enumerate(vids):
                 t = min(v.shape[0], max_t)
                 vbatch[i, :t] = v[:t]
@@ -106,13 +119,24 @@ class WhisperCollator:
             batch["video_lens"] = np.asarray(
                 [min(v.shape[0], max_t) for v in vids], np.int32
             )
-            if "fbank" in features[0]:
+            if any("fbank" in f for f in features):
                 # stacked log-filterbank (T, 104) at the 25 fps video
                 # rate (the AV-HuBERT avsr audio stream) — pad to the
                 # SAME quantized length so the two modalities stay
-                # frame-aligned through the fusion concat
-                fbs = [np.asarray(f["fbank"], np.float32) for f in features]
-                fbatch = np.zeros((len(fbs), max_t, fbs[0].shape[1]), np.float32)
+                # frame-aligned through the fusion concat; missing rows
+                # are all-zero (modality drop)
+                width = next(
+                    np.asarray(f["fbank"]).shape[1]
+                    for f in features
+                    if "fbank" in f
+                )
+                fbs = [
+                    np.asarray(f["fbank"], np.float32)
+                    if "fbank" in f
+                    else np.zeros((0, width), np.float32)
+                    for f in features
+                ]
+                fbatch = np.zeros((len(fbs), max_t, width), np.float32)
                 for i, fb in enumerate(fbs):
                     t = min(fb.shape[0], max_t)
                     fbatch[i, :t] = fb[:t]

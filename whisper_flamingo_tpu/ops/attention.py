@@ -102,10 +102,20 @@ def shard_map_attention(fn, qh, kh, vh):
         return fn(qh, kh, vh)
     from jax.sharding import PartitionSpec as P
 
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
     shape = dict(mesh.shape)
     b, h = qh.shape[:2]
-    data = "data" if shape.get("data", 1) > 1 and b % shape["data"] == 0 else None
-    model = "model" if shape.get("model", 1) > 1 and h % shape["model"] == 0 else None
+    data = (
+        DATA_AXIS
+        if shape.get(DATA_AXIS, 1) > 1 and b % shape[DATA_AXIS] == 0
+        else None
+    )
+    model = (
+        MODEL_AXIS
+        if shape.get(MODEL_AXIS, 1) > 1 and h % shape[MODEL_AXIS] == 0
+        else None
+    )
     if data is None and model is None:
         return fn(qh, kh, vh)
     spec = P(data, model)
@@ -143,6 +153,13 @@ def _flash_attention(qh, kh, vh):
             return shard_map_attention(flash64_attention, qh, kh, vh)
         except Exception:
             pass  # fall through to the library kernel
+    return _library_flash_attention(qh, kh, vh)
+
+
+def _library_flash_attention(qh, kh, vh):
+    """The tuned *library* flash path, callable directly so A/B tools
+    (tools/flash64_bench.py) keep a real baseline now that
+    :func:`_flash_attention` routes d_head=64 to the custom kernel."""
     try:
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes,

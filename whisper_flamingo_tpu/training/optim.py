@@ -84,6 +84,34 @@ def _masked_freeze(tx: optax.GradientTransformation, trainable_mask) -> optax.Gr
     )
 
 
+def _scheduled_decay(schedule, weight_decay: float, decay_mask):
+    """Decoupled weight decay scaled by the lr schedule (AdamW semantics:
+    ``update -= schedule(step) * wd * param``), applied after an inner
+    transform whose output updates are already lr-scaled descent steps."""
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("scheduled decay requires params")
+        lr = schedule(state.count)
+        updates = jax.tree.map(
+            # non-array leaves (optax MaskedNode under a frozen subtree's
+            # multi_transform) pass through untouched; is_leaf stops
+            # descent into the MaskedNode namedtuple container
+            lambda u, p, m: u - lr * weight_decay * p
+            if (m and isinstance(u, jax.Array))
+            else u,
+            updates, params, decay_mask,
+            is_leaf=lambda x: isinstance(x, optax.MaskedNode),
+        )
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def whisper_optimizer(
     params,
     learning_rate: float,
@@ -112,13 +140,20 @@ def whisper_optimizer(
     """
     schedule = linear_warmup_schedule(learning_rate, warmup_steps, total_steps)
     if optimizer == "adafactor":
+        # NOT optax.adafactor's weight_decay_rate: optax applies that as a
+        # flat per-step fraction AFTER the lr scaling (1%/step at the
+        # default 0.01 — weights would collapse even during warmup).
+        # _scheduled_decay reproduces AdamW's decoupled semantics:
+        # update -= schedule(step) * wd * param.
         tx = optax.adafactor(
             schedule,
             multiply_by_parameter_scale=False,
             momentum=None,
-            weight_decay_rate=weight_decay if weight_decay else None,
-            weight_decay_mask=no_decay_mask(params) if weight_decay else None,
         )
+        if weight_decay:
+            tx = optax.chain(
+                tx, _scheduled_decay(schedule, weight_decay, no_decay_mask(params))
+            )
     elif optimizer == "adamw":
         tx = optax.adamw(
             schedule,
