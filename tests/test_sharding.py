@@ -110,6 +110,41 @@ def test_ragged_batch_loss_unchanged():
     np.testing.assert_allclose(float(loss_padded), float(loss_ref), rtol=1e-6)
 
 
+def test_ragged_batch_with_xt():
+    """`xt` (n_langs, B, S, D) has its batch axis SECOND: ragged-batch
+    padding must grow axis 1 to the same padded B as the other fields and
+    sharding must split axis 1 (not n_langs) over the data axis — a
+    leading-axis convention would desync the batch dims and fail inside
+    the jitted step (round-3 review finding)."""
+    from jax.sharding import PartitionSpec as P
+
+    from whisper_flamingo_tpu.training.trainer import _device_batch
+
+    extras = ModelExtras(
+        add_gated_x_attn=1, num_langs=1, bert_dim=TINY.n_text_state
+    )
+    params = init_params(jax.random.PRNGKey(0), TINY, extras)
+    batch = _batch(b=5)
+    rng = np.random.default_rng(3)
+    batch["xt"] = rng.standard_normal(
+        (1, 5, 4, TINY.n_text_state)
+    ).astype(np.float32)
+
+    specs = batch_pspec(batch)
+    assert specs["xt"] == P(None, "data")
+    assert specs["labels"] == P("data")
+
+    tx, _ = whisper_optimizer(params, 1e-3, total_steps=10)
+    step = make_ce_train_step(TINY, tx, use_xt=True, dtype=jnp.float32)
+    mesh = make_mesh(8, 1)
+    with jax.set_mesh(mesh):
+        padded = _device_batch(batch, mesh)
+        assert np.shape(padded["xt"]) == (1, 8, 4, TINY.n_text_state)
+        state = TrainState.create(shard_params(params, mesh), tx)
+        state, metrics = step(state, padded)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_shard_map_attention_no_allgather():
     """A Pallas attention kernel under a sharded mesh must run per-shard,
     not replicated: without the shard_map wrap, XLA all-gathers the

@@ -105,8 +105,30 @@ def param_shardings(params, mesh: Mesh) -> Any:
     )
 
 
+# Batch fields whose batch axis is NOT leading. ``xt`` (text-conditioner
+# states, models/bert.py:encode_multi) is (n_langs, B, S, D): sharding its
+# leading axis over data would split n_langs (usually 1) and fail on
+# non-divisibility.
+BATCH_AXES = {"xt": 1}
+
+
+def batch_axis(key: str) -> int:
+    """Which axis of batch field ``key`` is the batch axis."""
+    return BATCH_AXES.get(key, 0)
+
+
 def batch_pspec(batch) -> Any:
-    """Shard every array's leading (batch) axis over the data axis."""
+    """Shard every array's batch axis over the data axis (leading for most
+    fields; see :data:`BATCH_AXES` for the exceptions)."""
+
+    def spec(key, x):
+        axis = batch_axis(key)
+        if np.ndim(x) <= axis:
+            return P()
+        return P(*([None] * axis + [DATA_AXIS]))
+
+    if isinstance(batch, dict):
+        return {k: spec(k, v) for k, v in batch.items()}
     return jax.tree.map(
         lambda x: P(DATA_AXIS) if np.ndim(x) >= 1 else P(), batch
     )

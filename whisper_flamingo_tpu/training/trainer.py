@@ -419,22 +419,31 @@ def _device_batch(batch: Dict[str, Any], mesh=None) -> Dict[str, Any]:
         if not isinstance(v, (list, tuple, str))
     }
     if mesh is not None:
-        from ..parallel.mesh import DATA_AXIS, shard_batch
+        from ..parallel.mesh import DATA_AXIS, batch_axis, shard_batch
 
         d = mesh.shape[DATA_AXIS]
         lead = next(
-            (np.shape(v)[0] for v in arrays.values() if np.ndim(v) >= 1), 0
+            (
+                np.shape(v)[batch_axis(k)]
+                for k, v in arrays.items()
+                if np.ndim(v) > batch_axis(k)
+            ),
+            0,
         )
         if lead % d != 0:
             # ragged final batch: repeat the last row up to divisibility,
             # but mask the padded rows' labels with -100 so they drop out
             # of every masked-mean loss/metric — the padded batch's loss
-            # is then exactly the unpadded batch's loss (no reweighting)
+            # is then exactly the unpadded batch's loss (no reweighting).
+            # The batch axis is per-field (xt's is axis 1, parallel.mesh
+            # BATCH_AXES) so every field reaches the same padded B.
             pad = d - lead % d
 
             def _pad_rows(k, v):
-                if np.ndim(v) >= 1 and np.shape(v)[0] == lead:
-                    v = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                axis = batch_axis(k)
+                if np.ndim(v) > axis and np.shape(v)[axis] == lead:
+                    reps = np.repeat(np.take(v, [-1], axis=axis), pad, axis=axis)
+                    v = np.concatenate([v, reps], axis=axis)
                     if k in ("labels", "teacher_labels"):
                         v[lead:] = -100
                 return v
