@@ -52,7 +52,11 @@ class TrainConfig:
     num_train_steps: int = 100_000
     warmup_steps: int = 0
     gradient_accumulation_steps: int = 1
-    max_grad_norm: float = 1.0
+    # 0 = no clipping. Parity default: the reference never enables
+    # Lightning's gradient_clip_val (the only mentions are commented-out
+    # TODOs, old_stuff/sequential_flamingo.py:515); clipping is also a
+    # measured 4.5 ms/step on chip (docs/performance.md, tools/opt_probe.py).
+    max_grad_norm: float = 0.0
     precision: str = "16-mixed"  # "16-mixed" -> bfloat16 compute on TPU
     # rematerialization for the train step's layer scan: "full" (default,
     # per-block recompute), "none" (save all activations; ~6% faster on

@@ -121,7 +121,7 @@ def whisper_optimizer(
     warmup_steps: int = 0,
     total_steps: int = 100_000,
     trainable_mask=None,
-    max_grad_norm: float | None = 1.0,
+    max_grad_norm: float | None = None,
     accumulate_steps: int = 1,
     optimizer: str = "adamw",
 ):
@@ -129,6 +129,10 @@ def whisper_optimizer(
 
     ``trainable_mask`` optionally freezes subtrees (e.g. the encoder);
     ``accumulate_steps`` wraps the update in optax.MultiSteps.
+    ``max_grad_norm`` is off by default for parity — the reference never
+    enables Lightning's ``gradient_clip_val`` (commented-out TODO only,
+    old_stuff/sequential_flamingo.py:515) — and because the global-norm
+    barrier measures 4.5 ms/step on chip (tools/opt_probe.py).
 
     ``optimizer="adafactor"`` swaps the inner AdamW for Adafactor with
     factored second moments and no momentum — optimizer state shrinks
@@ -184,7 +188,7 @@ def whisper_flamingo_optimizer(
     warmup_steps: int = 0,
     total_steps: int = 100_000,
     train_xt_projection: bool = False,
-    max_grad_norm: float | None = 1.0,
+    max_grad_norm: float | None = None,
     accumulate_steps: int = 1,
 ):
     """Gated-x-attn-only AdamW (parity: utils.py:498-517 — single param
