@@ -101,6 +101,7 @@ def main():
         warmup_steps=cfg.warmup_steps, total_steps=cfg.num_train_steps,
         max_grad_norm=cfg.max_grad_norm,
         accumulate_steps=cfg.gradient_accumulation_steps,
+        optimizer=cfg.optimizer,
     )
     av_step = make_av_train_step(
         model.dims, vcfg, tx,

@@ -66,6 +66,7 @@ def main():
         train_xt_projection=train_xt_projection,
         max_grad_norm=cfg.max_grad_norm,
         accumulate_steps=cfg.gradient_accumulation_steps,
+        optimizer=cfg.optimizer,
     )
     step = make_ce_train_step(
         model.dims, tx, freeze_encoder=True, use_xt=True,

@@ -252,3 +252,57 @@ def test_av_train_step_with_fbank():
     state = TrainState.create(params, tx)
     state, metrics = step(state, vparams, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_mixed_modality_rows_mask_stream_features():
+    """Mixed-modality batches: a row missing a stream must contribute
+    ZERO features for that stream pre-fusion (AV-HuBERT's own modality
+    dropout point), and a row with no modality at all must produce zero
+    conditioning — the zero-padded frontend input alone yields
+    conv-bias/LN junk, which would otherwise bias gated x-attn."""
+    from whisper_flamingo_tpu.models.avhubert import (
+        avhubert_encoder_apply,
+        init_video_encoder,
+    )
+    from whisper_flamingo_tpu.training.steps import _apply_av_encoder
+
+    vcfg = VIDEO_ENCODER_CONFIGS["debug-av"]
+    vparams = init_video_encoder(jax.random.PRNGKey(1), vcfg)
+    # real checkpoints have nonzero BN shifts; the init's are zero, which
+    # would make the frontend's all-zero-input output accidentally zero
+    # and hide the junk this test pins
+    vparams["frontend"]["bn3d"]["bias"] = (
+        vparams["frontend"]["bn3d"]["bias"] + 0.5
+    )
+    rng = np.random.default_rng(7)
+    # row 0: both streams; row 1: fbank only (video zero-padded);
+    # row 2: no modality at all (both zero-padded)
+    video = rng.standard_normal((3, 6, 48, 48)).astype(np.float32)
+    fbank = rng.standard_normal((3, 6, vcfg.audio_feat_dim)).astype(np.float32)
+    video[1:] = 0.0
+    fbank[2] = 0.0
+    batch = {
+        "video": jnp.asarray(video),
+        "fbank": jnp.asarray(fbank),
+        "video_lens": jnp.asarray([6, 0, 0], np.int32),
+        "fbank_lens": jnp.asarray([6, 6, 0], np.int32),
+    }
+    out = _apply_av_encoder(
+        avhubert_encoder_apply, vparams, vcfg, batch, jnp.float32
+    )
+    # no-modality row: conditioning exactly zero
+    assert float(jnp.abs(out[2]).max()) == 0.0
+    # fbank-only row: identical to an audio-only encode of that row
+    # (the masked video stream contributes true zeros, not frontend junk)
+    a_only = avhubert_encoder_apply(
+        vparams, vcfg, audio=jnp.asarray(fbank[1:2])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[1]), np.asarray(a_only[0]), atol=1e-5
+    )
+    # ...and WITHOUT the masks the same row is junk, not the audio-only
+    # encode (regression: this was the pre-fix behavior)
+    unmasked = avhubert_encoder_apply(
+        vparams, vcfg, video=batch["video"], audio=batch["fbank"]
+    )
+    assert float(np.abs(np.asarray(unmasked[1]) - np.asarray(a_only[0])).max()) > 1e-3

@@ -283,3 +283,41 @@ def test_kd_cross_size_teacher():
             TINY, tx, teacher_dims=big,
             freeze_student_encoder=True, share_teacher_features=True,
         )
+
+
+def test_flamingo_optimizer_adafactor():
+    """whisper_flamingo_optimizer honors optimizer='adafactor' (the
+    memory-bound gated large-v2 case the knob exists for): factored
+    state, uniform decoupled decay, and the gated-only freeze intact."""
+    import jax.numpy as jnp2
+
+    from whisper_flamingo_tpu.models.dims import MODEL_DIMS
+    from whisper_flamingo_tpu.models.whisper import ModelExtras, init_params
+    from whisper_flamingo_tpu.training.optim import whisper_flamingo_optimizer
+
+    extras = ModelExtras(add_gated_x_attn=1, num_langs=1, bert_dim=64)
+    params = init_params(
+        jax.random.PRNGKey(0), MODEL_DIMS["debug"], extras
+    )
+    tx, _ = whisper_flamingo_optimizer(
+        params, 1e-3, total_steps=10, optimizer="adafactor"
+    )
+    st = tx.init(params)
+    n_param_bytes = sum(
+        p.size * 4 for p in jax.tree.leaves(params)
+    )
+    st_bytes = sum(
+        l.size * l.dtype.itemsize
+        for l in jax.tree.leaves(st)
+        if hasattr(l, "dtype")
+    )
+    assert st_bytes < 0.2 * n_param_bytes  # factored, not fp32 mu+nu
+    g = jax.tree.map(jnp2.ones_like, params)
+    upd, _ = tx.update(g, st, params)
+    # frozen outside the gated group, live inside it
+    enc_leaf = jax.tree.leaves(upd["encoder"])[0]
+    assert float(jnp2.abs(enc_leaf).max()) == 0.0
+    gated = upd["decoder"]["blocks"]["gated"]
+    assert any(
+        float(jnp2.abs(l).max()) > 0 for l in jax.tree.leaves(gated)
+    )

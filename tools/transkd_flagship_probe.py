@@ -1,7 +1,7 @@
 """TransKD at flagship scale on ONE v5e chip: measured step time + HBM
 (VERDICT r2 #8; SURVEY §7.3 hard-part 6 — teacher/student co-residency).
 
-Ladder of configurations, largest first, each in its OWN subprocess (an
+Ladder of configurations, likely-to-fit first, each in its OWN subprocess (an
 OOM must not fragment the allocator for the next config). Teacher is
 always the gated (Flamingo) large-v2 with bf16 frozen masters — init and
 cast fused into one jit so the fp32 transient never materializes as a

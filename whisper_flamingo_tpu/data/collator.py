@@ -141,6 +141,9 @@ class WhisperCollator:
                     t = min(fb.shape[0], max_t)
                     fbatch[i, :t] = fb[:t]
                 batch["fbank"] = fbatch
+                batch["fbank_lens"] = np.asarray(
+                    [min(fb.shape[0], max_t) for fb in fbs], np.int32
+                )
 
         # int passthroughs: keyed on presence in ANY feature — a batch can
         # mix prompted and unprompted rows (empty prompt -> no prompt_lens

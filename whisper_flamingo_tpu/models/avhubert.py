@@ -110,6 +110,8 @@ def avhubert_encoder_apply(
     video: Optional[jax.Array] = None,
     audio: Optional[jax.Array] = None,
     *,
+    video_mask: Optional[jax.Array] = None,
+    audio_mask: Optional[jax.Array] = None,
     dtype=jnp.float32,
 ) -> jax.Array:
     """AV-HuBERT encoder over either or both modalities.
@@ -121,14 +123,26 @@ def avhubert_encoder_apply(
     (``--modalities vsr/asr/avsr``, reference README.md:130-154): the
     fused feature is cat([audio, video]) -> LayerNorm(2D) ->
     Linear(2D -> D) for ``modality_fuse="concat"``.
+
+    ``video_mask``/``audio_mask``: optional (B,) bools for mixed-modality
+    batches — False rows have that stream's features zeroed BEFORE
+    fusion (the same point AV-HuBERT's own modality dropout zeroes: the
+    frontend's conv-bias/LN output for an all-zero padded input is NOT
+    zero, so masking the input alone would condition the decoder on
+    bias-derived junk).
     Returns (B, T, embed_dim)."""
     if video is None and audio is None:
         raise ValueError("at least one of video/audio must be given")
 
+    def _mask_rows(feat, mask):
+        if mask is None:
+            return feat
+        return feat * mask.astype(feat.dtype)[:, None, None]
+
     vfeat = None
     if video is not None:
         feats = visual_frontend_apply(params["frontend"], video, dtype=dtype)
-        vfeat = linear(params["proj"], feats.astype(dtype))
+        vfeat = _mask_rows(linear(params["proj"], feats.astype(dtype)), video_mask)
 
     if cfg.audio_feat_dim is None:
         if vfeat is None:
@@ -137,7 +151,9 @@ def avhubert_encoder_apply(
     else:
         afeat = None
         if audio is not None:
-            afeat = linear(params["proj_audio"], audio.astype(dtype))
+            afeat = _mask_rows(
+                linear(params["proj_audio"], audio.astype(dtype)), audio_mask
+            )
         if vfeat is None:
             vfeat = jnp.zeros_like(afeat)
         if afeat is None:

@@ -146,13 +146,18 @@ def _flash_attention(qh, kh, vh):
     """
     if jax.devices()[0].platform != "tpu":
         return None
-    if qh.shape[-1] == 64:
+    import os
+
+    if qh.shape[-1] == 64 and not os.environ.get("WF_DISABLE_FLASH64"):
         try:
             from .flash64 import flash64_attention
 
             return shard_map_attention(flash64_attention, qh, kh, vh)
         except Exception:
-            pass  # fall through to the library kernel
+            pass  # import/trace-time failure: fall back to the library kernel
+            # NOTE: a Mosaic failure surfaces later, at XLA compile time,
+            # outside any try here — set WF_DISABLE_FLASH64=1 to force the
+            # library kernel on a TPU generation where that happens.
     return _library_flash_attention(qh, kh, vh)
 
 

@@ -63,7 +63,8 @@ def _fwd_kernel(t_real: int, q_ref, k_ref, v_ref, o_ref, lse_ref):
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
     l = jnp.sum(e, axis=1, keepdims=True)
-    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
+    if lse_ref is not None:  # inference primal skips the residual output
+        lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
     # fold the 1/l normalization into the (BQ, D) output instead of a
     # full (BQ, Tk) divide pass — the forward is VPU-bound, and this
     # drops one of its ~5 full-row passes
@@ -115,36 +116,50 @@ def _pad_len(t: int) -> int:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash64(q, k, v, interpret=False):
-    o, _ = _flash64_fwd_rule(q, k, v, interpret)
+    # primal (no-grad) path: forward WITHOUT the lse residual output —
+    # decode/eval encoder forwards would otherwise write a (bh, 1, tp)
+    # f32 array per attention op straight to HBM and drop it
+    o, _ = _flash64_forward(q, k, v, interpret, with_lse=False)
     return o
 
 
-def _flash64_fwd_rule(q, k, v, interpret):
+def _flash64_forward(q, k, v, interpret, *, with_lse):
     bh, t, d = q.shape
     tp = _pad_len(t)
     if tp != t:
         widths = ((0, 0), (0, tp - t), (0, 0))
         q, k, v = (jnp.pad(x, widths) for x in (q, k, v))
     grid = (bh, tp // BQ)
-    o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, t),
+    out_specs = [
+        pl.BlockSpec((1, BQ, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((bh, tp, d), q.dtype)]
+    if with_lse:
+        out_specs.append(
+            pl.BlockSpec((1, 1, BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((bh, 1, tp), jnp.float32))
+    kernel = functools.partial(_fwd_kernel, t)
+    if not with_lse:
+        kernel = functools.partial(kernel, lse_ref=None)
+    outs = pl.pallas_call(
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, BQ, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tp, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tp, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, BQ, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, tp, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, 1, tp), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(q, k, v)
+    o, lse = outs if with_lse else (outs[0], None)
     return o[:, :t], (q, k, v, lse, o)
+
+
+def _flash64_fwd_rule(q, k, v, interpret):
+    return _flash64_forward(q, k, v, interpret, with_lse=True)
 
 
 def _flash64_bwd_rule(interpret, residuals, g):

@@ -112,6 +112,47 @@ def _scheduled_decay(schedule, weight_decay: float, decay_mask):
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _build_inner_tx(schedule, optimizer, weight_decay, adam_epsilon, decay_mask):
+    """Inner update rule shared by both optimizer builders.
+
+    ``decay_mask``: pytree of bools (True = decay) or None for uniform
+    decay (the flamingo single-param-group case, utils.py:498-517)."""
+    if optimizer == "adafactor":
+        if adam_epsilon != 1e-8:
+            import warnings
+
+            warnings.warn(
+                f"adam_epsilon={adam_epsilon} has no effect with "
+                "optimizer='adafactor' (Adafactor has its own eps pair)",
+                stacklevel=3,
+            )
+        # NOT optax.adafactor's weight_decay_rate: optax applies that as a
+        # flat per-step fraction AFTER the lr scaling (1%/step at the
+        # default 0.01 — weights would collapse even during warmup).
+        # _scheduled_decay reproduces AdamW's decoupled semantics:
+        # update -= schedule(step) * wd * param.
+        tx = optax.adafactor(
+            schedule,
+            multiply_by_parameter_scale=False,
+            momentum=None,
+        )
+        if weight_decay:
+            tx = optax.chain(
+                tx, _scheduled_decay(schedule, weight_decay, decay_mask)
+            )
+        return tx
+    if optimizer == "adamw":
+        return optax.adamw(
+            schedule,
+            b1=0.9,
+            b2=0.999,
+            eps=adam_epsilon,
+            weight_decay=weight_decay,
+            mask=decay_mask,
+        )
+    raise ValueError(f"unknown optimizer {optimizer!r} (adamw|adafactor)")
+
+
 def whisper_optimizer(
     params,
     learning_rate: float,
@@ -143,32 +184,9 @@ def whisper_optimizer(
     rented 4x48 GB GPUs instead (transkd-asr_librispeech.py:203-257).
     """
     schedule = linear_warmup_schedule(learning_rate, warmup_steps, total_steps)
-    if optimizer == "adafactor":
-        # NOT optax.adafactor's weight_decay_rate: optax applies that as a
-        # flat per-step fraction AFTER the lr scaling (1%/step at the
-        # default 0.01 — weights would collapse even during warmup).
-        # _scheduled_decay reproduces AdamW's decoupled semantics:
-        # update -= schedule(step) * wd * param.
-        tx = optax.adafactor(
-            schedule,
-            multiply_by_parameter_scale=False,
-            momentum=None,
-        )
-        if weight_decay:
-            tx = optax.chain(
-                tx, _scheduled_decay(schedule, weight_decay, no_decay_mask(params))
-            )
-    elif optimizer == "adamw":
-        tx = optax.adamw(
-            schedule,
-            b1=0.9,
-            b2=0.999,
-            eps=adam_epsilon,
-            weight_decay=weight_decay,
-            mask=no_decay_mask(params),
-        )
-    else:
-        raise ValueError(f"unknown optimizer {optimizer!r} (adamw|adafactor)")
+    tx = _build_inner_tx(
+        schedule, optimizer, weight_decay, adam_epsilon, no_decay_mask(params)
+    )
     if max_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
     if trainable_mask is not None:
@@ -190,12 +208,21 @@ def whisper_flamingo_optimizer(
     train_xt_projection: bool = False,
     max_grad_norm: float | None = None,
     accumulate_steps: int = 1,
+    optimizer: str = "adamw",
 ):
     """Gated-x-attn-only AdamW (parity: utils.py:498-517 — single param
-    group, weight_decay applied uniformly there)."""
+    group, weight_decay applied uniformly there). ``optimizer`` accepts
+    the same ``adamw``/``adafactor`` choice as :func:`whisper_optimizer`
+    (the memory-bound gated large-v2 case is exactly where Adafactor
+    matters)."""
     schedule = linear_warmup_schedule(learning_rate, warmup_steps, total_steps)
-    tx = optax.adamw(
-        schedule, b1=0.9, b2=0.999, eps=adam_epsilon, weight_decay=weight_decay
+    # uniform decay mask: the reference puts every flamingo param in one
+    # group (utils.py:498-517); adafactor's decoupled decay needs it
+    # explicit, adamw(mask=None) means the same thing
+    uniform = jax.tree.map(lambda _: True, params)
+    tx = _build_inner_tx(
+        schedule, optimizer, weight_decay, adam_epsilon,
+        uniform if optimizer == "adafactor" else None,
     )
     if max_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)

@@ -318,6 +318,33 @@ def _scatter_rows(dest: jax.Array, idx: jax.Array, src: jax.Array) -> jax.Array:
     return dest.at[b, idx].set(src)
 
 
+def _apply_av_encoder(encoder_apply_fn, video_params, video_cfg, batch, dtype):
+    """Shared AV-encoder call for the train/eval steps: threads the
+    per-row modality masks from the collator (``video_lens``/``fbank_lens``
+    of 0 mark rows that lack that stream in a mixed-modality batch) and
+    zeroes the fused conditioning for rows with NO modality at all —
+    otherwise the zero-padded frontend input still yields conv-bias/LN
+    junk that the gated x-attn would attend to."""
+    import jax.numpy as _jnp
+
+    vlens = batch.get("video_lens")
+    flens = batch.get("fbank_lens")
+    use_audio = video_cfg.audio_feat_dim is not None
+    vfeats = encoder_apply_fn(
+        video_params, video_cfg, video=batch["video"],
+        audio=batch.get("fbank") if use_audio else None,
+        video_mask=(vlens > 0) if vlens is not None else None,
+        audio_mask=(flens > 0) if (use_audio and flens is not None) else None,
+        dtype=dtype,
+    )
+    if vlens is not None:
+        has_any = vlens > 0
+        if use_audio and flens is not None and "fbank" in batch:
+            has_any = has_any | (flens > 0)
+        vfeats = vfeats * has_any.astype(vfeats.dtype)[:, None, None]
+    return vfeats
+
+
 def make_av_train_step(
     dims: ModelDimensions,
     video_cfg,
@@ -348,10 +375,8 @@ def make_av_train_step(
         drop_video = (u >= prob_av) & (u < prob_av + prob_a)
         drop_audio = u >= prob_av + prob_a
 
-        vfeats = avhubert_encoder_apply(
-            video_params, video_cfg, video=batch["video"],
-            audio=batch.get("fbank") if video_cfg.audio_feat_dim is not None else None,
-            dtype=dtype,
+        vfeats = _apply_av_encoder(
+            avhubert_encoder_apply, video_params, video_cfg, batch, dtype
         )
         if freeze_video:
             vfeats = jax.lax.stop_gradient(vfeats)
@@ -398,10 +423,8 @@ def make_av_eval_step(
     from ..models.avhubert import avhubert_encoder_apply
 
     def step(video_params, params, batch):
-        vfeats = avhubert_encoder_apply(
-            video_params, video_cfg, video=batch["video"],
-            audio=batch.get("fbank") if video_cfg.audio_feat_dim is not None else None,
-            dtype=dtype,
+        vfeats = _apply_av_encoder(
+            avhubert_encoder_apply, video_params, video_cfg, batch, dtype
         )
         feats = encoder_apply(params, dims, batch["input_ids"], dtype=dtype)
         logits, _ = decoder_apply(
