@@ -42,12 +42,18 @@ from whisper_flamingo_tpu.training.trainer import Trainer
 
 
 class VideoSpeechDataset(SpeechDataset):
-    """SpeechDataset emitting the lip-video frames alongside the mel."""
+    """SpeechDataset emitting the lip-video frames alongside the mel;
+    with ``emit_fbank`` (avsr trunk configs) also the stacked-fbank
+    audio stream, featurized from the SAME processed waveform as the mel
+    so babble noise hits both modalities consistently."""
 
     video_hw: int = 88
+    emit_fbank: bool = False
+    fbank_dim: int = 104  # sliced for tiny test trunks (debug-av)
 
     def __getitem__(self, idx):
         ex = self.source[idx]
+        self.emit_wav = self.emit_fbank
         feat = super().__getitem__(idx, ex=ex)  # one source fetch
         video = ex.video
         if video is None:  # synthetic: derive deterministic random frames
@@ -60,6 +66,14 @@ class VideoSpeechDataset(SpeechDataset):
         elif isinstance(video, str):
             video = np.load(video).astype(np.float32)
         feat["video"] = video
+        if self.emit_fbank:
+            from whisper_flamingo_tpu.models.avhubert import (
+                stacked_fbank_features,
+            )
+
+            feat["fbank"] = stacked_fbank_features(feat.pop("wav"))[
+                :, : self.fbank_dim
+            ]
         return feat
 
 
@@ -85,6 +99,9 @@ def main():
     val_loader = build_loader(cfg, "validation", tokenizer, training=False)
     for loader in (train_loader, val_loader):  # upgrade to video datasets
         loader.dataset.__class__ = VideoSpeechDataset
+        if vcfg.audio_feat_dim is not None:  # avsr trunk: add fbank stream
+            loader.dataset.emit_fbank = True
+            loader.dataset.fbank_dim = vcfg.audio_feat_dim
 
     from whisper_flamingo_tpu.training.optim import flamingo_trainable_mask
 

@@ -53,9 +53,11 @@ def main():
                         help="override the AV-HuBERT size (default: by model-type)")
     args = parser.parse_args()
 
-    vcfg = VIDEO_ENCODER_CONFIGS[
-        args.video_encoder or ("large" if "large" in args.model_type else "base")
-    ]
+    # avsr wants the audio-trunk config variant; asr/vsr the video-only one
+    default_vcfg = ("large" if "large" in args.model_type else "base") + (
+        "-avsr" if args.modalities == "avsr" else ""
+    )
+    vcfg = VIDEO_ENCODER_CONFIGS[args.video_encoder or default_vcfg]
     model = whisper.load_model(
         args.checkpoint_path or args.model_type,
         add_gated_x_attn=1, num_langs=1, bert_dim=vcfg.embed_dim,

@@ -306,3 +306,46 @@ def test_mixed_modality_rows_mask_stream_features():
         vparams, vcfg, video=batch["video"], audio=batch["fbank"]
     )
     assert float(np.abs(np.asarray(unmasked[1]) - np.asarray(a_only[0])).max()) > 1e-3
+
+
+def test_asr_decode_test_a_threads_zero_stream(av_model):
+    """`--modalities asr` (test_a with NO video/fbank loaded) must decode
+    with a present-but-ZERO conditioning stream — the distribution
+    training's drop_video produces — not with the stream absent
+    (reference decoding.py:648-672 threads x_v there too). With opened
+    gates the two differ through the gated blocks' bias terms; and a
+    length-1 zero stream must equal a zeroed full-length stream (gated
+    x-attn over identical frames is frame-count independent)."""
+    rng = np.random.default_rng(4)
+    mel = rng.standard_normal((1, 80, 3000)).astype(np.float32)
+    opts = DecodingOptions(
+        language="en", fp16=False, sample_len=6, without_timestamps=True
+    )
+
+    import jax as _jax
+
+    opened = _jax.tree.map(lambda x: x, av_model.whisper.params)
+    g = opened["decoder"]["blocks"]["gated"]
+    g["langs"]["attn_gate"] = jnp.full_like(g["langs"]["attn_gate"], 2.0)
+    g["ff_gate"] = jnp.full_like(g["ff_gate"], 2.0)
+    opened_model = Whisper(
+        dims=av_model.whisper.dims, params=opened, extras=av_model.whisper.extras
+    )
+    from whisper_flamingo_tpu.models.avhubert import AVWhisper
+
+    av_open = AVWhisper(
+        whisper=opened_model,
+        video_params=av_model.video_params,
+        video_cfg=av_model.video_cfg,
+    )
+
+    got = av_open.decode(mel, opts, test_a=True)  # asr protocol: no video
+    zero_full = jnp.zeros((1, 9, VCFG.embed_dim), jnp.float32)
+    expected = decode(opened_model, mel, opts, xt=zero_full[None])
+    assert got[0].tokens == expected[0].tokens
+
+    # the absent-stream decode is a DIFFERENT distribution once gates
+    # open (the gated blocks' bias terms) — the skew this fix removes.
+    # The shift is small at random init, so compare logprobs, not tokens.
+    absent = decode(opened_model, mel, opts)
+    assert abs(absent[0].avg_logprob - got[0].avg_logprob) > 1e-4

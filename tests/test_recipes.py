@@ -56,6 +56,9 @@ RECIPES = [
     ("recipes/distil_prompt.py", "configs/smoke/distil_prompt.yaml", []),
     # AV surface
     ("recipes/av_train.py", "configs/smoke/av.yaml", []),
+    # avsr: audio+video trunk — the fbank stream rides the train step
+    ("recipes/av_train.py", "configs/smoke/av.yaml",
+     ["video_encoder=debug-av", "train_id=smoke_avsr"]),
     # family G: eval — free decode and teacher-forced with conditioning
     ("recipes/evaluate.py", "configs/smoke/ft.yaml",
      ["mode=decode", "beam_size=2"]),

@@ -40,12 +40,13 @@ ITERS = 100
 
 
 def _time(f, *args, repeats=5):
-    f(*args).block_until_ready()
-    np.asarray(f(*args))  # force real sync through the tunnel
+    jax.block_until_ready(f(*args))
+    _sync = lambda r: np.asarray(jax.tree.leaves(r)[0])
+    _sync(f(*args))  # force real sync through the tunnel
     ts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        np.asarray(f(*args))
+        _sync(f(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts)) / ITERS
 
@@ -94,13 +95,18 @@ def packed_pair():
     k1 = jax.random.normal(key, (64, N), jnp.bfloat16)
     k2 = jax.random.normal(key, (64, N), jnp.bfloat16)
 
-    # baseline: two separate depth-64 matmuls (what split-head attention does)
-    def sep(c, q2, k1, k2):
-        s1 = jnp.dot(c, k1, preferred_element_type=jnp.bfloat16)
-        s2 = jnp.dot(q2, k2, preferred_element_type=jnp.bfloat16)
-        return c + (s1[:, :64] + s2[:, :64]) * 1e-6
+    # baseline: two separate depth-64 matmuls (what split-head attention
+    # does). BOTH must depend on the scan carry — a loop-invariant
+    # s2 = dot(q2, k2) gets hoisted out of the while-loop by XLA's LICM
+    # and the baseline times ~1 matmul/iter instead of 2 (review r3);
+    # carry the pair so each head's chain threads through.
+    def sep(carry, k1, k2):
+        c1, c2 = carry
+        s1 = jnp.dot(c1, k1, preferred_element_type=jnp.bfloat16)
+        s2 = jnp.dot(c2, k2, preferred_element_type=jnp.bfloat16)
+        return (c1 + s1[:, :64] * 1e-6, c2 + s2[:, :64] * 1e-6)
 
-    t_sep = _time(_chain(sep), q1, q2, k1, k2)
+    t_sep = _time(_chain(sep), (q1, q2), k1, k2)
 
     # packed: one (M,128) @ (128, 2N) block-diagonal matmul
     qp = jnp.concatenate([q1, q2], axis=1)  # (M, 128)

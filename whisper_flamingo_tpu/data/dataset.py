@@ -371,6 +371,12 @@ class SpeechDataset:
             "ids": ex.id,
             "text": text,
         }
+        if getattr(self, "emit_wav", False):
+            # the PROCESSED waveform (noise-mixed, trimmed) for consumers
+            # that featurize it again — e.g. the avsr fbank stream must
+            # see the same babble mix as the mel (VideoSpeechDataset pops
+            # this; it never reaches the collator)
+            feat["wav"] = wav
 
         if self.prompt_use and ex.prompt:
             # prompt splicing parity: whisper_prompt_librispeech.py:146-162

@@ -56,7 +56,10 @@ class VideoEncoderConfig:
     projected to the embed dim and fused with the video stream before the
     transformer — ``modality_fuse="concat"`` (the released checkpoints'
     setting: concat to 2D, LayerNorm(2D), Linear(2D -> D)) or ``"add"``.
-    ``None`` keeps the legacy video-only trunk.
+    ``None`` (the default) is the video-only trunk: a video-only export
+    has no ``feature_extractor_audio``/fuse keys, and routing its
+    features through a random fuse LN + 2D->D Linear would silently
+    destroy them — use the ``*-avsr`` configs for avsr checkpoints.
     """
 
     embed_dim: int = 1024
@@ -67,7 +70,7 @@ class VideoEncoderConfig:
     conv_pos_groups: int = 16
     frontend_dim: int = 512
     layer_norm_first: bool = True
-    audio_feat_dim: Optional[int] = 104
+    audio_feat_dim: Optional[int] = None
     modality_fuse: str = "concat"
 
     @property
@@ -78,12 +81,17 @@ class VideoEncoderConfig:
 
 
 VIDEO_ENCODER_CONFIGS = {
+    # video-only trunks (upstream's --modalities vsr checkpoints)
     "large": VideoEncoderConfig(),
     "base": VideoEncoderConfig(embed_dim=768, n_layers=12, n_heads=12, ffn_dim=3072,
                                layer_norm_first=False),
-    # video-only trunk (upstream's --modalities vsr checkpoints)
+    # audio+video trunks (--modalities avsr, e.g. large_noise_pt_noise_ft_433h)
+    "large-avsr": VideoEncoderConfig(audio_feat_dim=104),
+    "base-avsr": VideoEncoderConfig(embed_dim=768, n_layers=12, n_heads=12,
+                                    ffn_dim=3072, layer_norm_first=False,
+                                    audio_feat_dim=104),
     "debug": VideoEncoderConfig(embed_dim=64, n_layers=2, n_heads=2, ffn_dim=128,
-                                conv_pos=8, conv_pos_groups=2, audio_feat_dim=None),
+                                conv_pos=8, conv_pos_groups=2),
     # tiny audio+video trunk for tests
     "debug-av": VideoEncoderConfig(embed_dim=64, n_layers=2, n_heads=2, ffn_dim=128,
                                    conv_pos=8, conv_pos_groups=2, audio_feat_dim=8),
@@ -207,6 +215,7 @@ def video_encoder_apply(
 def stacked_fbank_features(
     audio: "np.ndarray", sample_rate: int = 16000, *,
     n_filters: int = 26, stack_order: int = 4,
+    normalize: bool = True,
 ) -> "np.ndarray":
     """Waveform -> (T_25fps, n_filters*stack_order) stacked log filterbank.
 
@@ -217,7 +226,14 @@ def stacked_fbank_features(
     ``stack_order``=4 consecutive frames concatenated to one 104-dim
     vector at the 25 fps video rate (av_hubert's utils stacker,
     zero-padding the tail frame group). Host-side numpy (data-prep path,
-    like the reference's loader)."""
+    like the reference's loader).
+
+    ``normalize`` applies AV-HuBERT's per-frame feature normalization
+    (``F.layer_norm(feats, feats.shape[1:])`` over the stacked 104 dims
+    when the model config sets ``normalize=True`` — the released large
+    noise_ft checkpoints' setting; av_hubert hubert_dataset postprocess).
+    Raw log-energies sit around [-15, 5], far outside the distribution
+    the trained ``proj_audio`` expects."""
     audio = np.asarray(audio, np.float32)
     if audio.ndim != 1:
         audio = audio.reshape(-1)
@@ -253,7 +269,12 @@ def stacked_fbank_features(
     if len(feats) % stack_order:
         res = stack_order - len(feats) % stack_order
         feats = np.concatenate([feats, np.zeros((res, n_filters), feats.dtype)])
-    return feats.reshape(-1, stack_order * n_filters).astype(np.float32)
+    feats = feats.reshape(-1, stack_order * n_filters).astype(np.float32)
+    if normalize and len(feats):
+        mu = feats.mean(axis=1, keepdims=True)
+        var = feats.var(axis=1, keepdims=True)
+        feats = (feats - mu) / np.sqrt(var + 1e-5)
+    return feats.astype(np.float32)
 
 
 def init_video_encoder(key: jax.Array, cfg: VideoEncoderConfig) -> Params:
@@ -370,16 +391,31 @@ def load_avhubert_torch(state: Dict[str, Any], cfg: VideoEncoderConfig) -> Param
     # --- audio trunk (avsr): AVHubertModel's feature_extractor_audio,
     # top-level fused-feature layer_norm (NOT encoder.layer_norm), and
     # post_extract_proj (concat 2D -> D) ---
+    has_audio_keys = "feature_extractor_audio.proj.weight" in state
     if cfg.audio_feat_dim is not None:
-        if "feature_extractor_audio.proj.weight" in state:
-            params["proj_audio"]["w"] = t(state["feature_extractor_audio.proj.weight"]).T
-            params["proj_audio"]["b"] = t(state["feature_extractor_audio.proj.bias"])
+        if not has_audio_keys:
+            # a video-only export routed through random fuse_ln/post_proj
+            # would silently destroy the imported features
+            raise ValueError(
+                "config expects the avsr audio trunk (audio_feat_dim="
+                f"{cfg.audio_feat_dim}) but the checkpoint has no "
+                "feature_extractor_audio keys — use the video-only config "
+                "(e.g. 'large'/'base' instead of '*-avsr')"
+            )
+        params["proj_audio"]["w"] = t(state["feature_extractor_audio.proj.weight"]).T
+        params["proj_audio"]["b"] = t(state["feature_extractor_audio.proj.bias"])
         if "layer_norm.weight" in state:
             params["fuse_ln"]["scale"] = t(state["layer_norm.weight"])
             params["fuse_ln"]["bias"] = t(state["layer_norm.bias"])
         if "post_extract_proj.weight" in state and "post_proj" in params:
             params["post_proj"]["w"] = t(state["post_extract_proj.weight"]).T
             params["post_proj"]["b"] = t(state["post_extract_proj.bias"])
+    elif has_audio_keys:
+        raise ValueError(
+            "checkpoint carries an avsr audio trunk "
+            "(feature_extractor_audio keys) but the config is video-only — "
+            "use the matching '*-avsr' config"
+        )
     return jax.tree.map(jnp.asarray, params)
 
 
@@ -467,6 +503,12 @@ class AVWhisper:
             isinstance(drop_video, jax.Array) or drop_video
         ):
             video_features = jnp.where(drop_video, 0.0, video_features)
+        if video_features is None and test_a:
+            # no modality inputs at all but the test_a protocol asks for a
+            # present-but-zero stream (see decode()): a length-1 zero
+            # stream is exactly equivalent to a zeroed full trunk forward
+            b = audio_features.shape[0]
+            video_features = jnp.zeros((b, 1, self.video_cfg.embed_dim), dtype)
         return audio_features, video_features
 
     def decode(self, mel, options, video=None, audio=None,
@@ -478,16 +520,25 @@ class AVWhisper:
         from ..decoding import decode as decode_fn
 
         xt = None
-        vf = self._conditioning(video, audio, dtype=self.whisper.dtype)
-        if vf is not None and test_a:
-            # zero the conditioning FEATURES, keeping the stream present —
-            # the same definition training's drop_video applies
-            # (training/steps.py), so train and decode see identical
-            # conditioning under the same flag
-            vf = jnp.zeros_like(vf)
+        mel_arr = jnp.asarray(mel)
+        if test_a:
+            # present-but-ZERO conditioning stream — the same definition
+            # training's drop_video applies (training/steps.py), so train
+            # and decode see identical conditioning under the same flag.
+            # With every frame identically zero, the gated x-attn output
+            # is frame-count independent (uniform softmax over identical
+            # keys/values), so a length-1 stream is exactly equivalent to
+            # zeroing a full trunk forward — and skips the trunk entirely.
+            # This also covers `--modalities asr` where no video/fbank is
+            # even loaded (reference decoding.py:648-672 still threads the
+            # stream there).
+            b = mel_arr.shape[0] if mel_arr.ndim == 3 else 1
+            vf = jnp.zeros((b, 1, self.video_cfg.embed_dim), self.whisper.dtype)
+        else:
+            vf = self._conditioning(video, audio, dtype=self.whisper.dtype)
         if vf is not None and vf.ndim == 3:
             xt = vf[None]  # one conditioning stream
-        mel = jnp.asarray(mel)
+        mel = mel_arr
         if test_v:
             # zero the encoder *features*, matching what training's
             # modality dropout produces (training/steps.py drop_audio
