@@ -40,8 +40,7 @@ ITERS = 100
 
 
 def _time(f, *args, repeats=5):
-    jax.block_until_ready(f(*args))
-    _sync = lambda r: np.asarray(jax.tree.leaves(r)[0])
+    _sync = lambda r: np.asarray(r)  # scalar fetch (see _chain)
     _sync(f(*args))  # force real sync through the tunnel
     ts = []
     for _ in range(repeats):
@@ -52,14 +51,21 @@ def _time(f, *args, repeats=5):
 
 
 def _chain(body):
-    """iters of `body` with a carry dependency so XLA can't fold them."""
+    """iters of `body` with a carry dependency so XLA can't fold them.
+
+    Reduces the final carry to ONE f32 scalar on device: the host tunnel
+    moves ~30 MB/s, so fetching the raw carry for sync would add
+    ~65 us/iter per 196 KB of output — asymmetric across variants with
+    different carry shapes, large enough to flip close comparisons."""
 
     def run(x, *ops):
         def step(c, _):
             return body(c, *ops), None
 
         out, _ = jax.lax.scan(step, x, None, length=ITERS)
-        return out
+        return sum(
+            l.astype(jnp.float32).sum() for l in jax.tree.leaves(out)
+        )
 
     return jax.jit(run)
 
