@@ -3,7 +3,8 @@
 Measures, as compiled XLA programs on batched 30 s segments:
 
 - greedy decode RTF (real-time factor: seconds of audio per wall second)
-  — the round-over-round continuity metric;
+  — the round-over-round continuity metric — plus its int8 serving-mode
+  variant (DecodingOptions(quantize="int8"), docs/performance.md);
 - beam-15 decode RTF — the reference's published eval protocol
   (`/root/reference/README.md:113-117`, beam 15 for reported results);
 - teacher-forced train-step time and MFU for the LibriSpeech FT recipe
@@ -33,7 +34,7 @@ import time
 import numpy as np
 
 
-def _decode_bench(model, mel, sample_len, beam_size, iters, eot):
+def _decode_bench(model, mel, sample_len, beam_size, iters, eot, quantize=None):
     from whisper_flamingo_tpu.decoding import DecodingOptions, DecodingTask
 
     task = DecodingTask(
@@ -44,6 +45,7 @@ def _decode_bench(model, mel, sample_len, beam_size, iters, eot):
             sample_len=sample_len,
             fp16=True,
             beam_size=beam_size,
+            quantize=quantize,
             # suppress EOT: the loop must run the full sample_len budget
             suppress_tokens=f"-1,{eot}",
         ),
@@ -139,6 +141,10 @@ def main() -> None:
 
     greedy_rtf, greedy_tok_s = _decode_bench(model, mel, sample_len, None, iters, eot)
     print(f"greedy: rtf={greedy_rtf:.1f} tok/s={greedy_tok_s:.0f}", file=sys.stderr)
+    # int8 serving mode (DecodingOptions(quantize="int8")): same program
+    # shape, loop-resident operands stored int8 (see docs/performance.md)
+    int8_rtf, _ = _decode_bench(model, mel, sample_len, None, iters, eot, "int8")
+    print(f"greedy int8: rtf={int8_rtf:.1f}", file=sys.stderr)
     beam_rtf, beam_tok_s = _decode_bench(
         model, mel, sample_len, 15, max(iters // 3, 1), eot
     )
@@ -164,11 +170,16 @@ def main() -> None:
                 lmodel, mel, sample_len, None, max(iters // 3, 2), eot
             )
             print(f"{flagship_name} greedy: rtf={lg_rtf:.1f}", file=sys.stderr)
+            li_rtf, _ = _decode_bench(
+                lmodel, mel, sample_len, None, max(iters // 3, 2), eot, "int8"
+            )
+            print(f"{flagship_name} greedy int8: rtf={li_rtf:.1f}", file=sys.stderr)
             lb_rtf, _ = _decode_bench(lmodel, mel, sample_len, 15, 2, eot)
             print(f"{flagship_name} beam15: rtf={lb_rtf:.1f}", file=sys.stderr)
             key = flagship_name.replace("-", "_").replace(".", "_")
             flagship = {
                 f"{key}_greedy_rtf_b{batch}": round(lg_rtf, 3),
+                f"{key}_greedy_int8_rtf_b{batch}": round(li_rtf, 3),
                 f"{key}_beam15_rtf_b{batch}": round(lb_rtf, 3),
             }
         except Exception as e:  # flagship failure must not lose the headline
@@ -183,6 +194,7 @@ def main() -> None:
                 "unit": "x_realtime_per_chip",
                 "vs_baseline": round(greedy_rtf / 5.0, 3),
                 "greedy_tokens_per_sec": round(greedy_tok_s, 1),
+                f"greedy_int8_rtf_{model_name}_b{batch}": round(int8_rtf, 3),
                 f"beam15_decode_rtf_{model_name}_b{batch}": round(beam_rtf, 3),
                 "beam15_tokens_per_sec": round(beam_tok_s, 1),
                 f"train_step_ms_{model_name}_b{batch}": round(train_ms, 2),

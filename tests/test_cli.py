@@ -30,6 +30,11 @@ def test_cli_transcribe_roundtrip(tmp_path):
         w.writeframes(data.tobytes())
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # the image's sitecustomize re-registers the axon TPU backend (forcing
+    # jax_platforms="axon,cpu") whenever this var is set, which overrides
+    # JAX_PLATFORMS=cpu and makes the subprocess dial the remote chip;
+    # drop it so the CLI round-trip is hermetic on CPU
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     result = subprocess.run(
         [
             sys.executable, "-m", "whisper_flamingo_tpu", str(wav_path),

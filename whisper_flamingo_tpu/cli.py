@@ -14,7 +14,7 @@ import traceback
 import warnings
 
 from .tokenizer import LANGUAGES, TO_LANGUAGE_CODE
-from .utils import optional_float, optional_int, str2bool
+from .utils import optional_float, optional_int, optional_str, str2bool
 from .writers import get_writer
 
 
@@ -65,6 +65,12 @@ def cli():
     parser.add_argument("--max_words_per_line", type=optional_int, default=None)
     parser.add_argument("--fp16", type=str2bool, default=True,
                         help="bfloat16 compute on TPU")
+    # TPU-native extension (no reference equivalent): int8 serving mode
+    # for the bytes-bound decode loop (see DecodingOptions.quantize)
+    parser.add_argument("--quantize", type=optional_str, default=None,
+                        choices=(None, "int8"),
+                        help="store decode-loop weights/KV slabs int8 "
+                             "(faster serving; small bounded numeric cost)")
     # accepted for drop-in compatibility with the reference CLI
     # (`python -m whisper --device cuda --threads 4`); placement and host
     # threading are XLA's job here, so both are documented no-ops

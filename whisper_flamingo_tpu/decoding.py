@@ -40,6 +40,7 @@ from .models.whisper import (
     encoder_apply,
     fuse_decode_qkv,
     init_cache,
+    quantize_decode_params,
 )
 from .tokenizer import Tokenizer, get_tokenizer
 from .utils import compression_ratio
@@ -116,6 +117,15 @@ class DecodingOptions:
     # program every window). Off by default for exact reference parity;
     # transcribe() turns it on.
     bucket_prompt_lengths: bool = False
+
+    # "int8" stores every operand the incremental decode loop re-reads
+    # per token (decoder projection/MLP weights, lm head, audio and
+    # conditioning K/V slabs) as int8 with per-channel/per-head scales.
+    # The loop is HBM-bytes-bound (tools/int8_probe.py), so halving the
+    # bytes speeds decode up at a small, bounded numeric cost (symmetric
+    # per-channel quantization; logits typically within ~1%). Opt-in
+    # serving mode — None (default) keeps exact reference parity.
+    quantize: Optional[str] = None
 
     # When True, each DecodingResult carries a host-side numpy copy of its
     # (n_audio_ctx, n_audio_state) encoder features; by default the field
@@ -371,6 +381,8 @@ class DecodingTask:
             raise ValueError("patience requires beam_size to be given")
         if options.length_penalty is not None and not (0 <= options.length_penalty <= 1):
             raise ValueError("length_penalty (alpha) should be a value between 0 and 1")
+        if options.quantize not in (None, "int8"):
+            raise ValueError(f"quantize must be None or 'int8', got {options.quantize!r}")
         return options
 
     def _get_initial_tokens(self) -> Tuple[int, ...]:
@@ -446,6 +458,7 @@ class DecodingTask:
             self.sot_index,
             True,
             getattr(self.model.extras, "sequential_gated_x_attn", False),
+            quantize=self.options.quantize == "int8",
         )
 
     @cached_property
@@ -462,6 +475,7 @@ class DecodingTask:
             self.compute_dtype,
             self.tokenizer.no_speech,
             self.sot_index,
+            quantize=self.options.quantize == "int8",
         )
 
 
@@ -704,10 +718,14 @@ def _make_decode_program(
     sot_index: int,
     use_xt: bool = False,
     sequential_xt: bool = False,
+    quantize: bool = False,
 ):
     """Build (and cache) the jitted end-to-end decode program for one
     static decode configuration. With ``use_xt`` the program takes an
-    extra conditioning-stream operand consumed by gated x-attn."""
+    extra conditioning-stream operand consumed by gated x-attn. With
+    ``quantize`` the loop-resident weights and K/V slabs are stored int8
+    (DecodingOptions.quantize="int8"; see models.whisper
+    .quantize_decode_params)."""
 
     def prefill_and_loop(params, audio_features, init_tokens, rng, xt=None):
         n_audio = init_tokens.shape[0]  # B (un-repeated)
@@ -727,6 +745,11 @@ def _make_decode_program(
         # fuse the self-attn q/k/v projections for the loop (exact; the
         # concat happens once here, outside the while_loop)
         params = fuse_decode_qkv(params)
+        if quantize:
+            # int8 serving mode: quantization runs on-device once per
+            # call (one streaming pass over the weights, ~1 ms) — the
+            # loop then re-reads half the bytes every token
+            params = quantize_decode_params(params)
 
         # audio/conditioning K/V and the prefill run at batch B: prompts
         # are identical across beams, and cross-attention K/V is shared
@@ -735,6 +758,7 @@ def _make_decode_program(
         cache = init_cache(
             params, dims, audio_features,
             xt=xt if use_xt else None, max_len=max_len, dtype=dtype,
+            quantize=quantize,
         )
         logits, cache = decoder_apply(
             params, dims, init_tokens, cache=cache, offset=0, dtype=dtype,

@@ -70,8 +70,17 @@ def layer_norm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
     """Dense layer; weights stored (in, out), cast to the activation dtype
-    (parity: reference model.py:35-41)."""
-    y = x @ p["w"].astype(x.dtype)
+    (parity: reference model.py:35-41).
+
+    A layer quantized by :func:`quantize_decode_params` carries
+    ``w_q``/``w_s`` instead of ``w`` (int8 weights + per-output-channel
+    scales, the bytes-bound decode loop's opt-in serving mode)."""
+    if "w_q" in p:
+        from ..ops.quant import quantized_matmul
+
+        y = quantized_matmul(x, p["w_q"], p["w_s"])
+    else:
+        y = x @ p["w"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -113,6 +122,8 @@ def attention_block(
     v_override: Optional[jax.Array] = None,
     backend: str = "xla",
     return_qk: bool = False,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
 ):
     """Projected MHA. ``kv_src`` selects cross-attention; ``k/v_override``
     inject precomputed (cached) keys/values — 4-D (B, H, Dh, T)
@@ -134,10 +145,14 @@ def attention_block(
                 b = k_override.shape[0]
                 g = bg // b
                 out = xa_qkv_attention(
-                    q.reshape(b, g * t, d), k_override, v_override, n_head
+                    q.reshape(b, g * t, d), k_override, v_override, n_head,
+                    k_scale=k_scale, v_scale=v_scale,
                 ).reshape(bg, t, d)
             else:
-                out = xa_qkv_attention(q, k_override, v_override, n_head)
+                out = xa_qkv_attention(
+                    q, k_override, v_override, n_head,
+                    k_scale=k_scale, v_scale=v_scale,
+                )
         else:
             out = cached_qkv_attention(
                 q, k_override, v_override, n_head, mask=mask
@@ -322,6 +337,66 @@ def fuse_decode_qkv(params: Params) -> Params:
     return dict(params, decoder=dict(dec, blocks=blocks))
 
 
+def quantize_decode_params(params: Params) -> Params:
+    """Quantize to int8 every decoder weight the incremental decode loop
+    re-reads per token (opt-in: ``DecodingOptions(quantize="int8")``).
+
+    The loop is HBM-bytes-bound (tools/int8_probe.py): per-output-channel
+    int8 weights halve the ~198 MB (small) / ~1.2 GB (large-v2) of
+    projection+MLP reads per step and the 80 MB lm-head read, with the
+    int8->bf16 convert fused into each dot. Quantized here:
+
+    - the fused self-attn QKV projection (run after
+      :func:`fuse_decode_qkv`), self out, cross-attn q/out, MLP fc1/fc2;
+    - gated-x-attn per-language q/out and the shared gated FFN;
+    - the lm head: an int8 copy of ``token_embedding`` with per-vocab-row
+      scales (``lm_head_q``/``lm_head_s``), used ONLY for the logits
+      einsum — the embedding *gather* (a few rows per step) keeps the
+      original array.
+
+    Kept unquantized: everything read once at prefill (cross-attn k/v,
+    gated k/v, xt_projection, positional embeddings) and all LayerNorms.
+    """
+    from ..ops.quant import quantize_int8, quantize_linear_params
+
+    dec = params["decoder"]
+    blocks = dec["blocks"]
+    attn = dict(blocks["attn"])
+    if "qkv_w" in attn:
+        qkv_q, qkv_s = quantize_int8(attn.pop("qkv_w"), axis=-2)
+        attn["qkv_w_q"], attn["qkv_w_s"] = qkv_q, qkv_s
+    else:
+        attn["q"] = quantize_linear_params(attn["q"])
+        attn["k"] = quantize_linear_params(attn["k"])
+        attn["v"] = quantize_linear_params(attn["v"])
+    attn["out"] = quantize_linear_params(attn["out"])
+    cross = dict(
+        blocks["cross_attn"],
+        q=quantize_linear_params(blocks["cross_attn"]["q"]),
+        out=quantize_linear_params(blocks["cross_attn"]["out"]),
+    )
+    mlp = {k: quantize_linear_params(v) for k, v in blocks["mlp"].items()}
+    new_blocks = dict(blocks, attn=attn, cross_attn=cross, mlp=mlp)
+    if "gated" in blocks:
+        g = blocks["gated"]
+        langs = dict(
+            g["langs"],
+            attn=dict(
+                g["langs"]["attn"],
+                q=quantize_linear_params(g["langs"]["attn"]["q"]),
+                out=quantize_linear_params(g["langs"]["attn"]["out"]),
+            ),
+        )
+        ff = {k: quantize_linear_params(v) for k, v in g["ff"].items()}
+        new_blocks["gated"] = dict(g, langs=langs, ff=ff)
+    lm_q, lm_s = quantize_int8(dec["token_embedding"], axis=-1)
+    new_dec = dict(
+        dec, blocks=new_blocks, lm_head_q=lm_q,
+        lm_head_s=jnp.squeeze(lm_s, axis=-1),
+    )
+    return dict(params, decoder=new_dec)
+
+
 def init_cache(
     params: Params,
     dims: ModelDimensions,
@@ -330,6 +405,7 @@ def init_cache(
     xt: Optional[jax.Array] = None,
     max_len: Optional[int] = None,
     dtype=jnp.float32,
+    quantize: bool = False,
 ) -> Dict[str, jax.Array]:
     """Preallocate the decode cache and precompute all static K/V.
 
@@ -348,6 +424,13 @@ def init_cache(
     cheap beam-reorder gathers. K is pre-scaled by ``(d/h)^-0.25`` at
     write time in both (same multiplication the reference applies at
     use, model.py:93-108).
+
+    With ``quantize`` the static slabs (audio and conditioning K/V) are
+    stored int8 with per-head scales (``xa_k_s``/... entries) — the
+    decode loop re-reads them every token and is bytes-bound, so halving
+    their bytes measured ~1.8x faster slab attention
+    (tools/int8_probe.py). The self cache stays in ``dtype`` (written
+    per step; short time axis).
     """
     dec = params["decoder"]
     L = dims.n_text_layer
@@ -370,6 +453,11 @@ def init_cache(
         "xa_k": xa_k,  # (L, B, H, Dh, Ta), K pre-scaled
         "xa_v": xa_v,
     }
+    if quantize:
+        from ..ops.quant import quantize_int8
+
+        cache["xa_k"], cache["xa_k_s"] = quantize_int8(xa_k, axis=(-2, -1))
+        cache["xa_v"], cache["xa_v_s"] = quantize_int8(xa_v, axis=(-2, -1))
     if xt is not None and "gated" in dec["blocks"]:
         xt_p = _prepare_xt(params, dims, xt, dtype)  # (n_langs, B, S, D)
 
@@ -394,6 +482,9 @@ def init_cache(
         cache["xt_k"] = xt_k  # (L, n_langs, B, H, Dh, S), K pre-scaled
         cache["xt_v"] = xt_v
         cache["xt"] = xt_p
+        if quantize:
+            cache["xt_k"], cache["xt_k_s"] = quantize_int8(xt_k, axis=(-2, -1))
+            cache["xt_v"], cache["xt_v_s"] = quantize_int8(xt_v, axis=(-2, -1))
     return cache
 
 
@@ -481,19 +572,37 @@ def decoder_apply(
         scale = (dims.n_text_state // n_head) ** -0.25
 
         have_xt_kv = use_gated and "xt_k" in cache
+        # int8 serving mode (see quantize_decode_params / init_cache):
+        # slabs carry per-head dequant scales scanned alongside them
+        quantized = "xa_k_s" in cache
 
         def block_fn(x, layer_in):
-            bp, k_l, v_l, xa_k_l, xa_v_l, xt_kv_l = layer_in
+            bp, k_l, v_l, xa_kv_l, xt_kv_l = layer_in
+            if quantized:
+                xa_k_l, xa_v_l, xa_ks_l, xa_vs_l = xa_kv_l
+            else:
+                (xa_k_l, xa_v_l), xa_ks_l, xa_vs_l = xa_kv_l, None, None
             if have_xt_kv:
-                xt_k_l, xt_v_l = xt_kv_l
+                if quantized:
+                    xt_k_l, xt_v_l, xt_ks_l, xt_vs_l = xt_kv_l
+                else:
+                    (xt_k_l, xt_v_l), xt_ks_l, xt_vs_l = xt_kv_l, None, None
                 x = _gated_x_attn_cached(
-                    bp["gated"], x, xt_k_l, xt_v_l, n_head, sequential=sequential_xt
+                    bp["gated"], x, xt_k_l, xt_v_l, n_head,
+                    sequential=sequential_xt, k_scale=xt_ks_l, v_scale=xt_vs_l,
                 )
             elif use_gated:
                 x = _gated_ff_only(bp["gated"], x)
             ap = bp["attn"]
             x_ln = layer_norm(bp["attn_ln"], x)
-            if "qkv_w" in ap:  # fused projection (see fuse_decode_qkv)
+            if "qkv_w_q" in ap:  # fused + int8 (see quantize_decode_params)
+                from ..ops.quant import quantized_matmul
+
+                qkv = quantized_matmul(
+                    x_ln, ap["qkv_w_q"], ap["qkv_w_s"]
+                ) + ap["qkv_b"].astype(x_ln.dtype)
+                q, k_raw, v_raw = jnp.split(qkv, 3, axis=-1)
+            elif "qkv_w" in ap:  # fused projection (see fuse_decode_qkv)
                 qkv = x_ln @ ap["qkv_w"].astype(x_ln.dtype) + ap[
                     "qkv_b"
                 ].astype(x_ln.dtype)
@@ -512,18 +621,28 @@ def decoder_apply(
             x = x + attention_block(
                 bp["cross_attn"], layer_norm(bp["cross_attn_ln"], x), n_head,
                 k_override=xa_k_l, v_override=xa_v_l,
+                k_scale=xa_ks_l, v_scale=xa_vs_l,
             )
             x = x + mlp_block(bp["mlp"], layer_norm(bp["mlp_ln"], x))
             return x, (k_l, v_l)
 
-        xt_kv = (
-            (cache["xt_k"], cache["xt_v"]) if have_xt_kv
-            else (jnp.zeros((dims.n_text_layer,)), jnp.zeros((dims.n_text_layer,)))
+        xa_kv = (
+            (cache["xa_k"], cache["xa_v"], cache["xa_k_s"], cache["xa_v_s"])
+            if quantized else (cache["xa_k"], cache["xa_v"])
         )
+        if have_xt_kv:
+            xt_kv = (
+                (cache["xt_k"], cache["xt_v"], cache["xt_k_s"], cache["xt_v_s"])
+                if quantized else (cache["xt_k"], cache["xt_v"])
+            )
+        else:
+            xt_kv = (
+                jnp.zeros((dims.n_text_layer,)), jnp.zeros((dims.n_text_layer,))
+            )
         x, (new_k, new_v) = jax.lax.scan(
             block_fn,
             x,
-            (dec["blocks"], cache["k"], cache["v"], cache["xa_k"], cache["xa_v"], xt_kv),
+            (dec["blocks"], cache["k"], cache["v"], xa_kv, xt_kv),
         )
         new_cache = dict(cache, k=new_k, v=new_v)
 
@@ -532,12 +651,19 @@ def decoder_apply(
     # accumulator/output — reference semantics (`x @ E.to(x.dtype).T`
     # then .float(), model.py:336-338) and avoids materializing an fp32
     # copy of the vocab embedding inside the decode loop
-    logits = jnp.einsum(
-        "btd,vd->btv",
-        x,
-        dec["token_embedding"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    )
+    if "lm_head_q" in dec:  # int8 serving mode (quantize_decode_params):
+        # per-vocab-row scales fold into the fp32 logits output
+        logits = jnp.einsum(
+            "btd,vd->btv", x, dec["lm_head_q"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ) * dec["lm_head_s"].astype(jnp.float32)
+    else:
+        logits = jnp.einsum(
+            "btd,vd->btv",
+            x,
+            dec["token_embedding"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
     return logits.astype(jnp.float32), new_cache
 
 
@@ -551,15 +677,23 @@ def _gated_ff_only(p: Params, x: jax.Array) -> jax.Array:
 def _gated_x_attn_cached(
     p: Params, x: jax.Array, xt_k: jax.Array, xt_v: jax.Array, n_head: int,
     sequential: bool = False,
+    k_scale: Optional[jax.Array] = None, v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Gated x-attn using precomputed per-language K/V (decode path)."""
+    """Gated x-attn using precomputed per-language K/V (decode path).
+    ``k_scale``/``v_scale`` are per-language (n_langs, B, H, 1, 1) dequant
+    scales when the conditioning slabs are int8 (serving mode)."""
     n_langs = xt_k.shape[0]
+
+    def _sc(s, i):
+        return None if s is None else s[i]
+
     if sequential:
         for i in range(n_langs):
             sub = jax.tree.map(lambda a: a[i], p["langs"])
             x_ln = layer_norm(sub["attn_ln"], x)
             attn_out = attention_block(
-                sub["attn"], x_ln, n_head, k_override=xt_k[i], v_override=xt_v[i]
+                sub["attn"], x_ln, n_head, k_override=xt_k[i], v_override=xt_v[i],
+                k_scale=_sc(k_scale, i), v_scale=_sc(v_scale, i),
             )
             x = x + attn_out * jnp.tanh(sub["attn_gate"].astype(x.dtype))
         x = x + mlp_block(p["ff"], layer_norm(p["ff_ln"], x)) * jnp.tanh(
@@ -572,7 +706,8 @@ def _gated_x_attn_cached(
         sub = jax.tree.map(lambda a: a[i], p["langs"])
         x_ln = layer_norm(sub["attn_ln"], x_origin)
         attn_out = attention_block(
-            sub["attn"], x_ln, n_head, k_override=xt_k[i], v_override=xt_v[i]
+            sub["attn"], x_ln, n_head, k_override=xt_k[i], v_override=xt_v[i],
+            k_scale=_sc(k_scale, i), v_scale=_sc(v_scale, i),
         )
         total_delta = total_delta + attn_out * jnp.tanh(
             sub["attn_gate"].astype(x.dtype)

@@ -28,6 +28,10 @@ def optional_float(string: str) -> Optional[float]:
     return None if string == "None" else float(string)
 
 
+def optional_str(string: str) -> Optional[str]:
+    return None if string == "None" else string
+
+
 def compression_ratio(text: str) -> float:
     """gzip repetition proxy (parity: reference whisper/utils.py:45-48)."""
     text_bytes = text.encode("utf-8")
