@@ -142,9 +142,14 @@ def main() -> None:
     greedy_rtf, greedy_tok_s = _decode_bench(model, mel, sample_len, None, iters, eot)
     print(f"greedy: rtf={greedy_rtf:.1f} tok/s={greedy_tok_s:.0f}", file=sys.stderr)
     # int8 serving mode (DecodingOptions(quantize="int8")): same program
-    # shape, loop-resident operands stored int8 (see docs/performance.md)
-    int8_rtf, _ = _decode_bench(model, mel, sample_len, None, iters, eot, "int8")
-    print(f"greedy int8: rtf={int8_rtf:.1f}", file=sys.stderr)
+    # shape, loop-resident operands stored int8 (see docs/performance.md).
+    # Guarded: an int8-path failure must not lose the headline metric.
+    try:
+        int8_rtf, _ = _decode_bench(model, mel, sample_len, None, iters, eot, "int8")
+        print(f"greedy int8: rtf={int8_rtf:.1f}", file=sys.stderr)
+    except Exception as e:
+        int8_rtf = 0.0
+        print(f"int8 bench failed: {e}", file=sys.stderr)
     beam_rtf, beam_tok_s = _decode_bench(
         model, mel, sample_len, 15, max(iters // 3, 1), eot
     )
@@ -170,9 +175,13 @@ def main() -> None:
                 lmodel, mel, sample_len, None, max(iters // 3, 2), eot
             )
             print(f"{flagship_name} greedy: rtf={lg_rtf:.1f}", file=sys.stderr)
-            li_rtf, _ = _decode_bench(
-                lmodel, mel, sample_len, None, max(iters // 3, 2), eot, "int8"
-            )
+            try:
+                li_rtf, _ = _decode_bench(
+                    lmodel, mel, sample_len, None, max(iters // 3, 2), eot, "int8"
+                )
+            except Exception as e:  # keep the bf16 flagship numbers
+                li_rtf = 0.0
+                print(f"flagship int8 bench failed: {e}", file=sys.stderr)
             print(f"{flagship_name} greedy int8: rtf={li_rtf:.1f}", file=sys.stderr)
             lb_rtf, _ = _decode_bench(lmodel, mel, sample_len, 15, 2, eot)
             print(f"{flagship_name} beam15: rtf={lb_rtf:.1f}", file=sys.stderr)
