@@ -154,6 +154,35 @@ def test_transcribe_accepts_quantize():
     assert "text" in out and "segments" in out
 
 
+def test_int8_decode_under_dp_tp_mesh():
+    """quantize="int8" composes with sharded decode: quantization runs
+    inside the compiled program, so GSPMD must propagate the TP shardings
+    through quantize_int8's amax reductions (row-parallel weights reduce
+    over a sharded axis -> collective max) without changing results."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from whisper_flamingo_tpu.decoding import DecodingTask
+    from whisper_flamingo_tpu.parallel.mesh import make_mesh, shard_params
+
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    model = Whisper(dims=DIMS, params=params)
+    rng = np.random.default_rng(7)
+    mel = rng.standard_normal((4, DIMS.n_mels, 3000)).astype(np.float32) * 0.3
+    opts = DecodingOptions(
+        language="en", fp16=False, sample_len=8, without_timestamps=True,
+        quantize="int8",
+    )
+    base = DecodingTask(model, opts).run(mel)
+
+    mesh = make_mesh(4, 2)
+    with jax.set_mesh(mesh):
+        sharded = Whisper(dims=DIMS, params=shard_params(params, mesh))
+        mel_s = jax.device_put(mel, NamedSharding(mesh, P("data")))
+        got = DecodingTask(sharded, opts).run(mel_s)
+    for b, g in zip(base, got):
+        assert g.tokens == b.tokens
+
+
 def test_quantize_option_validated():
     params = init_params(jax.random.PRNGKey(1), DIMS)
     model = Whisper(dims=DIMS, params=params)
