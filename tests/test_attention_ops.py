@@ -112,15 +112,24 @@ def test_fuse_decode_qkv_exact():
         )
 
 
-def test_flash64_interpret_parity():
+import pytest
+
+
+@pytest.mark.parametrize("fwd_sum", ["vpu", "mxu"])
+def test_flash64_interpret_parity(fwd_sum, monkeypatch):
     """The in-tree fused d_head=64 attention kernel (ops/flash64) matches
     XLA attention exactly — forward and all three gradients — including
-    ragged KV lengths that exercise the pad-column masking."""
+    ragged KV lengths that exercise the pad-column masking. Covers both
+    softmax-denominator strategies (FWD_SUM: VPU row sum vs the
+    ones-augmented-V MXU column)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from whisper_flamingo_tpu.ops import flash64
     from whisper_flamingo_tpu.ops.flash64 import flash64_attention
+
+    monkeypatch.setattr(flash64, "FWD_SUM", fwd_sum)
 
     def ref_attn(q, k, v):
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)

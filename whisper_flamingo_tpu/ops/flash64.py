@@ -45,6 +45,18 @@ from jax.experimental.pallas import tpu as pltpu
 BQ = 512  # q rows per grid program (3 programs cover 1536)
 NEG_INF = float("-inf")
 
+# Forward softmax-denominator strategy. "mxu" appends a ones column to V
+# so the row sum rides the weights·V dot — the MXU pads the 64-wide
+# output to 128 lanes anyway, so the column is architecturally free and
+# one of the forward's three full-row VPU passes disappears. o and l are
+# then computed from the SAME bf16 weights (the shipped "vpu" path mixes
+# f32 l with a bf16-weights o, so "mxu" is the more self-consistent of
+# the two). Module-level so tools/flash64_fwd_probe.py and the A/B can
+# flip it; the default is set by the on-chip measurement
+# (docs/performance.md).
+FWD_SUM = "vpu"
+_AUG = 8  # lane-padding-free width added to V for the ones column
+
 
 def _masked_scores(q, k_ref, t_real):
     """S = q @ K^T with padded KV columns at -inf; f32 (BQ, Tk)."""
@@ -58,19 +70,28 @@ def _masked_scores(q, k_ref, t_real):
     return s
 
 
-def _fwd_kernel(t_real: int, q_ref, k_ref, v_ref, o_ref, lse_ref):
+def _fwd_kernel(t_real: int, mxu_sum: bool, q_ref, k_ref, v_ref, o_ref, lse_ref):
     s = _masked_scores(q_ref[0], k_ref, t_real)
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
-    l = jnp.sum(e, axis=1, keepdims=True)
+    if mxu_sum:
+        # V arrives ones-augmented (see FWD_SUM): one dot yields the
+        # (BQ, D) output and the row sum in column D — no VPU sum pass
+        d = o_ref.shape[-1]
+        ol = jnp.dot(
+            e.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+        )
+        o, l = ol[:, :d], ol[:, d : d + 1]
+    else:
+        l = jnp.sum(e, axis=1, keepdims=True)
+        o = jnp.dot(
+            e.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+        )
     if lse_ref is not None:  # inference primal skips the residual output
         lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
     # fold the 1/l normalization into the (BQ, D) output instead of a
     # full (BQ, Tk) divide pass — the forward is VPU-bound, and this
     # drops one of its ~5 full-row passes
-    o = jnp.dot(
-        e.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
-    )
     o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
@@ -129,6 +150,12 @@ def _flash64_forward(q, k, v, interpret, *, with_lse):
     if tp != t:
         widths = ((0, 0), (0, tp - t), (0, 0))
         q, k, v = (jnp.pad(x, widths) for x in (q, k, v))
+    mxu_sum = FWD_SUM == "mxu"
+    if mxu_sum:
+        ones = jnp.zeros((bh, tp, _AUG), v.dtype).at[:, :, 0].set(1.0)
+        v_in, dv = jnp.concatenate([v, ones], axis=2), d + _AUG
+    else:
+        v_in, dv = v, d
     grid = (bh, tp // BQ)
     out_specs = [
         pl.BlockSpec((1, BQ, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -139,7 +166,7 @@ def _flash64_forward(q, k, v, interpret, *, with_lse):
             pl.BlockSpec((1, 1, BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM)
         )
         out_shape.append(jax.ShapeDtypeStruct((bh, 1, tp), jnp.float32))
-    kernel = functools.partial(_fwd_kernel, t)
+    kernel = functools.partial(_fwd_kernel, t, mxu_sum)
     if not with_lse:
         kernel = functools.partial(kernel, lse_ref=None)
     outs = pl.pallas_call(
@@ -148,12 +175,12 @@ def _flash64_forward(q, k, v, interpret, *, with_lse):
         in_specs=[
             pl.BlockSpec((1, BQ, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tp, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp, dv), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(q, k, v)
+    )(q, k, v_in)
     o, lse = outs if with_lse else (outs[0], None)
     return o[:, :t], (q, k, v, lse, o)
 
