@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import decode_mlp
 from ..ops.attention import (
     cached_causal_mask,
     cached_qkv_attention,
@@ -623,7 +624,14 @@ def decoder_apply(
                 k_override=xa_k_l, v_override=xa_v_l,
                 k_scale=xa_ks_l, v_scale=xa_vs_l,
             )
-            x = x + mlp_block(bp["mlp"], layer_norm(bp["mlp_ln"], x))
+            if decode_mlp.ENABLED:
+                # fused streaming-MLP Pallas kernel (ops/decode_mlp.py):
+                # one weight-byte pass, tile DMA overlapped with compute
+                x = x + decode_mlp.fused_mlp(
+                    bp["mlp"], layer_norm(bp["mlp_ln"], x)
+                )
+            else:
+                x = x + mlp_block(bp["mlp"], layer_norm(bp["mlp_ln"], x))
             return x, (k_l, v_l)
 
         xa_kv = (
