@@ -24,6 +24,12 @@ quantized weights of the serving mode (`ops/quant.py`): fc1's scales are
 applied before the GELU (the nonlinearity needs real values), fc2's fold
 into the final output. No reference equivalent (the reference's decode
 loop is Python-per-token); this is a TPU-native serving optimization.
+
+Caveats: (a) Pallas custom calls carry no SPMD partitioning rule, so
+under a TP mesh the weights would be all-gathered (correct but slow) —
+the flag is a single-chip serving knob, like the rest of the decode
+fast path; (b) long prefills fall back to XLA (see the rows bound in
+``fused_mlp``).
 """
 
 from __future__ import annotations
@@ -105,14 +111,17 @@ def fused_mlp(p, x: jax.Array) -> jax.Array:
     d, f = w1.shape
     *lead, t, dx = x.shape
     tile = TILE_F if f % TILE_F == 0 else f  # tiny (test) dims: one step
-    if (f % tile and f > TILE_F) or d % 8:
-        from .. import models  # pragma: no cover - no released size hits this
-
-        return models.whisper.mlp_block(p, x)
-    rows = 1
+    rows = t
     for a in lead:
         rows *= a
-    rows *= t
+    # the x and o blocks are whole-rows VMEM residents: the kernel is for
+    # the incremental loop (rows = B*beams); a long prefill (B*T_prompt
+    # rows) would blow the ~16 MB VMEM budget, so it keeps the XLA path
+    # (it is a one-time batch GEMM that XLA already tiles well)
+    if (f % tile and f > TILE_F) or d % 8 or rows > 1024:
+        from .. import models
+
+        return models.whisper.mlp_block(p, x)
     x2 = x.reshape(rows, dx)
     if quantized:
         out = _call(x2, w1, fc1["b"], w2, f, tile, fc1["w_s"].astype(jnp.float32))
