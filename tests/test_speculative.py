@@ -1,0 +1,154 @@
+"""Speculative greedy decoding (whisper_flamingo_tpu/speculative.py).
+
+The load-bearing property is the classical speculative guarantee: output
+tokens are IDENTICAL to plain greedy decode, regardless of draft quality
+— exercised at both acceptance extremes (independent random draft ~= 0%
+acceptance; draft == verifier = 100% acceptance). Also pins the per-row
+offset primitives the speculative loop added to the decoder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_flamingo_tpu.decoding import DecodingOptions, DecodingTask
+from whisper_flamingo_tpu.models.dims import MODEL_DIMS, ModelDimensions
+from whisper_flamingo_tpu.models.whisper import (
+    Whisper,
+    decoder_apply,
+    fuse_decode_qkv,
+    init_cache,
+    init_params,
+)
+from whisper_flamingo_tpu.speculative import SpeculativeDecodingTask, decode_speculative
+
+DIMS = MODEL_DIMS["debug"]
+
+
+def _draft_dims():
+    # a genuinely smaller draft: fewer layers/heads, same vocab + mels
+    return ModelDimensions(
+        n_mels=DIMS.n_mels, n_audio_ctx=DIMS.n_audio_ctx, n_audio_state=32,
+        n_audio_head=1, n_audio_layer=1, n_vocab=DIMS.n_vocab,
+        n_text_ctx=DIMS.n_text_ctx, n_text_head=1, n_text_state=32,
+        n_text_layer=1,
+    )
+
+
+def test_per_row_offset_decoder_matches_scalar():
+    """decoder_apply with a (B,) offset equals scalar-offset runs row-wise:
+    positional embeddings, causal masks, and cache writes all per-row."""
+    params = fuse_decode_qkv(init_params(jax.random.PRNGKey(0), DIMS))
+    rng = np.random.default_rng(0)
+    B, L = 3, 16
+    xa = jnp.asarray(rng.standard_normal((B, DIMS.n_audio_ctx, DIMS.n_text_state)),
+                     jnp.float32)
+    cache = init_cache(params, DIMS, xa, max_len=L)
+    # seed the caches identically at offset 0 with a 4-token prefix
+    prefix = jnp.asarray(rng.integers(0, DIMS.n_vocab, (B, 4)), jnp.int32)
+    _, cache = decoder_apply(params, DIMS, prefix, cache=cache, offset=0)
+
+    tok = jnp.asarray(rng.integers(0, DIMS.n_vocab, (B, 2)), jnp.int32)
+    offsets = jnp.asarray([4, 5, 6], jnp.int32)
+    got, got_cache = decoder_apply(params, DIMS, tok, cache=cache, offset=offsets)
+
+    for i in range(B):
+        ref, ref_cache = decoder_apply(
+            params, DIMS, tok[i : i + 1], cache=jax.tree.map(
+                lambda a: a[:, i : i + 1] if a.ndim >= 2 and a.shape[1] == B else a,
+                cache,
+            ),
+            offset=int(offsets[i]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[i]), np.asarray(ref[0]), atol=2e-4, rtol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_cache["k"][:, i]), np.asarray(ref_cache["k"][:, 0]),
+            atol=1e-5,
+        )
+
+
+def _models():
+    params_v = init_params(jax.random.PRNGKey(0), DIMS)
+    params_d = init_params(jax.random.PRNGKey(7), _draft_dims())
+    return (
+        Whisper(dims=DIMS, params=params_v),
+        Whisper(dims=_draft_dims(), params=params_d),
+    )
+
+
+@pytest.mark.parametrize("draft_len", [1, 3])
+def test_speculative_matches_greedy_random_draft(draft_len):
+    model, draft = _models()
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((3, DIMS.n_mels, 3000)).astype(np.float32) * 0.4
+    opts = DecodingOptions(
+        language="en", fp16=False, sample_len=10, without_timestamps=True
+    )
+    base = DecodingTask(model, opts).run(mel)
+    task = SpeculativeDecodingTask(model, draft, opts, draft_len=draft_len)
+    got = task.run(mel)
+    for b, g in zip(base, got):
+        assert g.tokens == b.tokens
+        assert abs(g.avg_logprob - b.avg_logprob) < 1e-3
+        assert abs(g.no_speech_prob - b.no_speech_prob) < 1e-5
+    assert int(task.last_stats["rounds"]) >= 1
+
+
+def test_speculative_full_acceptance_path():
+    """draft == verifier accepts every drafted token: rounds collapse to
+    ~sample_len/(K+1) and tokens still match plain greedy exactly."""
+    model, _ = _models()
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((2, DIMS.n_mels, 3000)).astype(np.float32) * 0.4
+    opts = DecodingOptions(
+        language="en", fp16=False, sample_len=12, without_timestamps=True
+    )
+    base = DecodingTask(model, opts).run(mel)
+    task = SpeculativeDecodingTask(model, model, opts, draft_len=3)
+    got = task.run(mel)
+    for b, g in zip(base, got):
+        assert g.tokens == b.tokens
+    rounds = int(task.last_stats["rounds"])
+    # full acceptance: every round advances K+1 tokens (modulo EOT/budget)
+    assert rounds <= -(-12 // 4) + 1, rounds
+
+
+def test_speculative_int8_composes():
+    model, draft = _models()
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((2, DIMS.n_mels, 3000)).astype(np.float32) * 0.4
+    opts = DecodingOptions(
+        language="en", fp16=False, sample_len=8, without_timestamps=True,
+        quantize="int8",
+    )
+    base = DecodingTask(model, opts).run(mel)
+    got = SpeculativeDecodingTask(model, draft, opts, draft_len=2).run(mel)
+    for b, g in zip(base, got):
+        assert g.tokens == b.tokens
+
+
+def test_speculative_validation():
+    model, draft = _models()
+    mel = np.zeros((1, DIMS.n_mels, 3000), np.float32)
+    with pytest.raises(ValueError, match="greedy-only"):
+        SpeculativeDecodingTask(
+            model, draft, DecodingOptions(language="en", beam_size=2,
+                                          without_timestamps=True)
+        )
+    with pytest.raises(ValueError, match="temperature"):
+        SpeculativeDecodingTask(
+            model, draft, DecodingOptions(language="en", temperature=0.5,
+                                          without_timestamps=True)
+        )
+    with pytest.raises(ValueError, match="without_timestamps"):
+        SpeculativeDecodingTask(model, draft, DecodingOptions(language="en"))
+    # decode_speculative convenience: single-segment unbatched mel
+    out = decode_speculative(
+        model, draft, jnp.asarray(mel[0]),
+        DecodingOptions(language="en", fp16=False, sample_len=4,
+                        without_timestamps=True),
+        draft_len=2,
+    )
+    assert isinstance(out.tokens, list)

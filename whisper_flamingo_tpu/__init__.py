@@ -25,6 +25,7 @@ from .decoding import (  # noqa: F401
     decode,
     detect_language,
 )
+from .speculative import decode_speculative  # noqa: F401
 from .transcribe import transcribe  # noqa: F401
 
 __version__ = "0.1.0"

@@ -525,9 +525,15 @@ def decoder_apply(
     T = tokens.shape[-1]
 
     tok_emb = dec["token_embedding"][tokens]
-    pos = jax.lax.dynamic_slice_in_dim(
-        dec["pos_embedding"], offset, T, axis=0
-    ) if not isinstance(offset, int) or offset != 0 else dec["pos_embedding"][:T]
+    if getattr(offset, "ndim", 0) == 1:
+        # per-row offsets (speculative decoding): gather each row's
+        # positional window, (B, T, D)
+        idx = offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+        pos = dec["pos_embedding"][idx]
+    elif not isinstance(offset, int) or offset != 0:
+        pos = jax.lax.dynamic_slice_in_dim(dec["pos_embedding"], offset, T, axis=0)
+    else:
+        pos = dec["pos_embedding"][:T]
     x = (tok_emb + pos).astype(dtype)
 
     # A gated model run without conditioning streams behaves like the

@@ -222,15 +222,30 @@ def cached_causal_mask(q_len: int, cache_len: int, offset) -> jax.Array:
     KV cache where the current chunk is written at [offset, offset+q_len).
 
     Position ``i`` of the chunk may attend to cache slots ``j <= offset+i``.
+    A per-row ``offset`` of shape (B,) (speculative decoding: rows advance
+    at different rates) yields a (B, 1, q_len, cache_len) mask that
+    broadcasts over heads.
     """
-    q_pos = offset + jax.lax.broadcasted_iota(jnp.int32, (q_len, cache_len), 0)
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (q_len, cache_len), 0)
     k_pos = jax.lax.broadcasted_iota(jnp.int32, (q_len, cache_len), 1)
+    if getattr(offset, "ndim", 0) == 1:
+        q_pos = offset[:, None, None, None] + q_pos[None, None]
+        k_pos = k_pos[None, None]
+    else:
+        q_pos = offset + q_pos
     return jnp.where(k_pos <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
 
 
 def update_cache(cache: jax.Array, new: jax.Array, offset) -> jax.Array:
     """Write ``new`` (..., T, d) into ``cache`` (..., T_max, d) at ``offset``
-    along the second-to-last (time) axis."""
+    along the second-to-last (time) axis. A (B,) ``offset`` writes each
+    batch row (leading axis) at its own position."""
+    if getattr(offset, "ndim", 0) == 1:
+        return jax.vmap(
+            lambda c, n, o: jax.lax.dynamic_update_slice(
+                c, n.astype(c.dtype), (0,) * (c.ndim - 2) + (o, 0)
+            )
+        )(cache, new, offset)
     idx = (0,) * (cache.ndim - 2) + (offset, 0)
     return jax.lax.dynamic_update_slice(cache, new.astype(cache.dtype), idx)
 
