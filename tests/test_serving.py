@@ -28,6 +28,25 @@ def test_batch_transcriber_pads_and_unpads():
     assert again[0].tokens == results[0].tokens
 
 
+def test_batch_transcriber_speculative():
+    """draft_model switches to speculative decoding; tokens identical."""
+    model = load_model("debug")
+    opts = DecodingOptions(
+        language="en", without_timestamps=True, sample_len=6, fp16=False
+    )
+    rng = np.random.default_rng(1)
+    waves = [rng.standard_normal(16000 * 2).astype(np.float32) * 0.05
+             for _ in range(3)]
+    plain = BatchTranscriber(model, options=opts, batch_sizes=(4,))
+    spec = BatchTranscriber(
+        model, options=opts, batch_sizes=(4,), draft_model=model, draft_len=2
+    )
+    base = plain.transcribe_segments(waves)
+    got = spec.transcribe_segments(waves)
+    for b, g in zip(base, got):
+        assert g.tokens == b.tokens
+
+
 def test_transcribe_long_batches_windows():
     model = load_model("debug")
     svc = BatchTranscriber(

@@ -28,13 +28,21 @@ from .decoding import DecodingOptions, DecodingResult, DecodingTask
 
 @dataclass
 class BatchTranscriber:
-    """Compiled fixed-shape batch decoding with request padding."""
+    """Compiled fixed-shape batch decoding with request padding.
+
+    ``draft_model`` switches greedy decoding to speculative decoding
+    (``speculative.SpeculativeDecodingTask``): the draft proposes
+    ``draft_len`` tokens per round and the flagship verifies them in one
+    weight-stream pass — token-identical output, fewer flagship steps.
+    """
 
     model: object
     options: DecodingOptions = field(default_factory=lambda: DecodingOptions(
         language="en", without_timestamps=True
     ))
     batch_sizes: Sequence[int] = (1, 4, 8, 16)
+    draft_model: object = None
+    draft_len: int = 4
 
     def __post_init__(self):
         self._tasks = {}
@@ -42,7 +50,15 @@ class BatchTranscriber:
     def _task(self) -> DecodingTask:
         key = (self.options,)
         if key not in self._tasks:
-            self._tasks[key] = DecodingTask(self.model, self.options)
+            if self.draft_model is not None:
+                from .speculative import SpeculativeDecodingTask
+
+                self._tasks[key] = SpeculativeDecodingTask(
+                    self.model, self.draft_model, self.options,
+                    draft_len=self.draft_len,
+                )
+            else:
+                self._tasks[key] = DecodingTask(self.model, self.options)
         return self._tasks[key]
 
     def _pick_batch(self, n: int) -> int:
