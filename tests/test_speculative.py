@@ -111,8 +111,9 @@ def test_speculative_full_acceptance_path():
     for b, g in zip(base, got):
         assert g.tokens == b.tokens
     rounds = int(task.last_stats["rounds"])
-    # full acceptance: every round advances K+1 tokens (modulo EOT/budget)
-    assert rounds <= -(-12 // 4) + 1, rounds
+    # full acceptance: every round advances K+1 tokens (prefill produced
+    # the first, 11 remain at 4/round -> exactly 3 rounds)
+    assert rounds == 3, rounds
 
 
 def test_speculative_int8_composes():

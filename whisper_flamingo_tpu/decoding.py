@@ -38,9 +38,8 @@ from .audio import CHUNK_LENGTH
 from .models.whisper import (
     decoder_apply,
     encoder_apply,
-    fuse_decode_qkv,
     init_cache,
-    quantize_decode_params,
+    prepare_decode_params,
 )
 from .tokenizer import Tokenizer, get_tokenizer
 from .utils import compression_ratio
@@ -732,24 +731,9 @@ def _make_decode_program(
         n_batch = n_audio * G  # B * G
         init_len = init_tokens.shape[1]
 
-        # cast weights to the compute dtype ONCE, outside the decode loop —
-        # otherwise each while-loop step re-reads fp32 master weights from
-        # HBM and converts them (the loop body's casts are not hoisted)
-        if dtype != jnp.float32:
-            params = jax.tree.map(
-                lambda x: x.astype(dtype)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32
-                else x,
-                params,
-            )
-        # fuse the self-attn q/k/v projections for the loop (exact; the
-        # concat happens once here, outside the while_loop)
-        params = fuse_decode_qkv(params)
-        if quantize:
-            # int8 serving mode: quantization runs on-device once per
-            # call (one streaming pass over the weights, ~1 ms) — the
-            # loop then re-reads half the bytes every token
-            params = quantize_decode_params(params)
+        # one-time param transform (dtype cast / QKV fusion / optional
+        # int8 quantization), shared with the speculative program builder
+        params = prepare_decode_params(params, dtype, quantize)
 
         # audio/conditioning K/V and the prefill run at batch B: prompts
         # are identical across beams, and cross-attention K/V is shared

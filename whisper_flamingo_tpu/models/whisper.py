@@ -398,6 +398,26 @@ def quantize_decode_params(params: Params) -> Params:
     return dict(params, decoder=new_dec)
 
 
+def prepare_decode_params(params: Params, dtype, quantize: bool) -> Params:
+    """The decode loop's one-time parameter transform, shared by the plain
+    and speculative program builders: cast fp32 masters to the compute
+    dtype (outside the loop — the loop body's casts are not hoisted),
+    fuse the self-attn q/k/v projections, and optionally quantize to int8
+    (serving mode). Keeping this in ONE place is what keeps speculative
+    decoding token-identical to plain greedy."""
+    if dtype != jnp.float32:
+        params = jax.tree.map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            params,
+        )
+    params = fuse_decode_qkv(params)
+    if quantize:
+        params = quantize_decode_params(params)
+    return params
+
+
 def init_cache(
     params: Params,
     dims: ModelDimensions,

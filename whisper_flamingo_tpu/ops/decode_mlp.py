@@ -110,7 +110,10 @@ def fused_mlp(p, x: jax.Array) -> jax.Array:
     w2 = fc2["w_q"] if quantized else fc2["w"]
     d, f = w1.shape
     *lead, t, dx = x.shape
-    tile = TILE_F if f % TILE_F == 0 else f  # tiny (test) dims: one step
+    # tile choice: a TILE_F-divisible ffn tiles normally; a small (test)
+    # ffn runs as one step; a large non-divisible ffn would need the
+    # whole weight pair VMEM-resident -> XLA fallback instead
+    tile = TILE_F if f % TILE_F == 0 else (f if f <= TILE_F else None)
     rows = t
     for a in lead:
         rows *= a
@@ -118,7 +121,7 @@ def fused_mlp(p, x: jax.Array) -> jax.Array:
     # the incremental loop (rows = B*beams); a long prefill (B*T_prompt
     # rows) would blow the ~16 MB VMEM budget, so it keeps the XLA path
     # (it is a one-time batch GEMM that XLA already tiles well)
-    if (f % tile and f > TILE_F) or d % 8 or rows > 1024:
+    if tile is None or d % 8 or rows > 1024:
         from .. import models
 
         return models.whisper.mlp_block(p, x)

@@ -7,8 +7,12 @@ decoder weights (~1.2 GB/step bf16 at large-v2) and K/V slabs. Verifying
 K drafted tokens in one forward streams those bytes ONCE for up to K+1
 accepted tokens, so flagship RTF scales with the draft's acceptance rate
 while the output stays **token-identical to plain greedy** (the
-classical speculative-decoding guarantee for argmax acceptance). The
-draft (e.g. ``tiny``, 39 M params) adds K cheap steps.
+classical speculative-decoding guarantee for argmax acceptance; exact in
+exact arithmetic and pinned at f32 — under bf16 compute a near-tie in
+the logits can in principle resolve differently between the K+1-wide
+verify matmul and plain greedy's 1-wide step, the same tiling-order
+caveat any batched-vs-single forward carries). The draft (e.g. ``tiny``,
+39 M params) adds K cheap steps.
 
 No reference equivalent (the reference decodes one token per Python
 round-trip, `/root/reference/whisper/decoding.py:688-718`); the model
@@ -26,11 +30,14 @@ tokenizer vocabulary and mel bins. Composes with the int8 serving mode
 Mechanics (per loop round, per row; n = current length, s[n-1] not yet
 fed to either cache — the standing invariant):
 
-1. draft K single-token steps at per-row offsets n-1 … n+K-2 → d_1…d_K;
-2. verifier forward over [s[n-1], d_1 … d_(K-1)] at offsets n-1 …
-   n+K-2 → its greedy choices v_1…v_K and their logprobs;
+1. draft K steps at per-row offsets → d_1…d_K (the first step re-feeds
+   [s[n-2], s[n-1]] to repair the draft cache's one-slot lag after a
+   fully-accepted round);
+2. verifier forward over [s[n-1], d_1 … d_K] at offsets n-1 … n+K-1 →
+   its greedy choices v_1…v_(K+1) and their logprobs;
 3. accept the longest prefix with v_j == d_j (a tokens) plus the bonus
-   token v_(a+1): exactly what plain greedy would have produced;
+   token v_(a+1): exactly what plain greedy would have produced — a
+   fully-accepted round nets K+1 tokens from one flagship pass;
 4. rows advance by a+1 each (clamped at the token budget / first EOT);
    per-row cache offsets mean rows at different lengths coexist. Stale
    cache slots from rejected drafts sit exactly in the range the next
@@ -58,26 +65,11 @@ from .decoding import (
 from .models.whisper import (
     Whisper,
     decoder_apply,
-    fuse_decode_qkv,
     init_cache,
-    quantize_decode_params,
+    prepare_decode_params,
 )
 
 NEG_INF = float("-inf")
-
-
-def _prep_params(params, dtype, quantize):
-    if dtype != jnp.float32:
-        params = jax.tree.map(
-            lambda x: x.astype(dtype)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32
-            else x,
-            params,
-        )
-    params = fuse_decode_qkv(params)
-    if quantize:
-        params = quantize_decode_params(params)
-    return params
 
 
 @lru_cache(maxsize=None)
@@ -102,8 +94,8 @@ def _make_spec_program(
     def prefill_and_loop(params_v, params_d, feats_v, feats_d, init_tokens, rng):
         del rng  # greedy-only: acceptance is exact for argmax
         B, init_len = init_tokens.shape
-        params_vp = _prep_params(params_v, dtype, quantize)
-        params_dp = _prep_params(params_d, dtype, quantize)
+        params_vp = prepare_decode_params(params_v, dtype, quantize)
+        params_dp = prepare_decode_params(params_d, dtype, quantize)
         sup_dev = jnp.asarray(sup)[None, :]
 
         cache_len = max_len + K
@@ -153,7 +145,7 @@ def _make_spec_program(
             "rounds": jnp.zeros((), jnp.int32),
         }
 
-        pos_k = jnp.arange(K, dtype=jnp.int32)[None, :]  # (1, K)
+        pos_k = jnp.arange(K + 1, dtype=jnp.int32)[None, :]  # (1, K+1)
 
         def cond(s):
             return jnp.any(~s["finished"] & (s["lens"] < max_len))
@@ -164,11 +156,22 @@ def _make_spec_program(
             last = jnp.take_along_axis(tokens, (n - 1)[:, None], axis=1)
 
             # -- draft K tokens at per-row offsets ------------------------
-            cache_d, cur, drafts = s["cache_d"], last, []
+            # The first step feeds TWO tokens [s(n-2), s(n-1)] at offset
+            # n-2: after a fully-accepted round (a == K, K+1 tokens
+            # appended) the draft cache is one slot behind the verifier's
+            # (it never fed its own d_K), and this re-feed repairs exactly
+            # that slot; in every other case it rewrites an already-valid
+            # slot with the same value.
+            first2 = jnp.take_along_axis(
+                tokens,
+                jnp.concatenate([(n - 2)[:, None], (n - 1)[:, None]], axis=1),
+                axis=1,
+            )
+            cache_d, cur, drafts = s["cache_d"], first2, []
             for j in range(K):
                 lg, cache_d = decoder_apply(
                     params_dp, dims_d, cur, cache=cache_d,
-                    offset=n - 1 + j, dtype=dtype,
+                    offset=n - 2 + j if j == 0 else n - 1 + j, dtype=dtype,
                 )
                 nxt = jnp.argmax(
                     lg[:, -1].astype(jnp.float32) + sup_dev, axis=-1
@@ -178,23 +181,26 @@ def _make_spec_program(
             draft = jnp.stack(drafts, axis=1)  # (B, K)
 
             # -- verify in one forward ------------------------------------
-            feed = jnp.concatenate([last, draft[:, : K - 1]], axis=1)  # (B, K)
+            # K+1 positions: the verifier's choice after ALL K drafts is
+            # the classical bonus token, so a fully-accepted round nets
+            # K+1 tokens from one flagship weight stream
+            feed = jnp.concatenate([last, draft], axis=1)  # (B, K+1)
             v_logits, cache_v = decoder_apply(
                 params_vp, dims_v, feed, cache=s["cache_v"],
                 offset=n - 1, dtype=dtype,
             )
             v_logits = v_logits.astype(jnp.float32) + sup_dev[:, None, :]
-            choice = jnp.argmax(v_logits, axis=-1).astype(jnp.int32)  # (B, K)
+            choice = jnp.argmax(v_logits, axis=-1).astype(jnp.int32)  # (B, K+1)
             tok_lp = jnp.take_along_axis(
                 jax.nn.log_softmax(v_logits, axis=-1), choice[..., None], axis=-1
-            )[..., 0]  # (B, K)
+            )[..., 0]  # (B, K+1)
 
             # -- acceptance: longest matching prefix + bonus token --------
-            match = (choice == draft).astype(jnp.int32)
+            match = (choice[:, :K] == draft).astype(jnp.int32)
             a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # (B,) in [0, K]
-            n_new = jnp.minimum(a + 1, K)
+            n_new = a + 1  # accepted prefix + bonus, in [1, K+1]
             n_new = jnp.minimum(n_new, max_len - n)  # token budget
-            takes = pos_k < n_new[:, None]  # (B, K)
+            takes = pos_k < n_new[:, None]  # (B, K+1)
             hit_eot = (choice == eot) & takes
             has_eot = jnp.any(hit_eot, axis=1)
             first_eot = jnp.argmax(hit_eot, axis=1)
@@ -308,7 +314,16 @@ class SpeculativeDecodingTask(DecodingTask):
     def run(self, mel, xt=None) -> List[DecodingResult]:
         if xt is not None:
             raise ValueError("speculative decoding does not take conditioning streams")
-        self._draft_mel = jnp.asarray(mel)
+        mel = jnp.asarray(mel)
+        d = self.model.dims
+        if mel.shape[-2:] == (d.n_audio_ctx, d.n_audio_state):
+            # the inherited run() accepts precomputed VERIFIER encoder
+            # features, but the draft needs its own features from raw mel
+            raise ValueError(
+                "speculative decoding requires raw mel input (the draft "
+                "model computes its own encoder features)"
+            )
+        self._draft_mel = mel
         return super().run(mel)
 
 
