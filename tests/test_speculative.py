@@ -116,6 +116,24 @@ def test_speculative_full_acceptance_path():
     assert rounds == 3, rounds
 
 
+def test_speculative_with_prompt():
+    """Prompts ride the initial-token sequence (sot_prev + prompt + sot
+    seq) — the speculative prefill must handle the longer window and
+    still match plain greedy (the serving path decodes prompted windows
+    when chaining context)."""
+    model, draft = _models()
+    rng = np.random.default_rng(9)
+    mel = rng.standard_normal((2, DIMS.n_mels, 3000)).astype(np.float32) * 0.4
+    opts = DecodingOptions(
+        language="en", fp16=False, sample_len=8, without_timestamps=True,
+        prompt=[21, 99, 7],
+    )
+    base = DecodingTask(model, opts).run(mel)
+    got = SpeculativeDecodingTask(model, draft, opts, draft_len=2).run(mel)
+    for b, g in zip(base, got):
+        assert g.tokens == b.tokens
+
+
 def test_speculative_int8_composes():
     model, draft = _models()
     rng = np.random.default_rng(3)
