@@ -116,6 +116,28 @@ def test_speculative_full_acceptance_path():
     assert rounds == 3, rounds
 
 
+@pytest.mark.parametrize("timestamps", [False, True])
+def test_speculative_with_timestamps(timestamps):
+    """The timestamp logit rules apply per drafted/verified position
+    against the hypothesis prefix — tokens (incl. timestamp tokens and
+    the pairing/monotonicity rules) match plain greedy exactly."""
+    model, draft = _models()
+    rng = np.random.default_rng(11)
+    mel = rng.standard_normal((2, DIMS.n_mels, 3000)).astype(np.float32) * 0.4
+    opts = DecodingOptions(
+        language="en", fp16=False, sample_len=10,
+        without_timestamps=timestamps,
+    )
+    base = DecodingTask(model, opts).run(mel)
+    got = SpeculativeDecodingTask(model, draft, opts, draft_len=3).run(mel)
+    for b, g in zip(base, got):
+        assert g.tokens == b.tokens
+    # the self-pair exercises acceptance THROUGH the timestamp rules
+    got2 = SpeculativeDecodingTask(model, model, opts, draft_len=3).run(mel)
+    for b, g in zip(base, got2):
+        assert g.tokens == b.tokens
+
+
 def test_speculative_with_prompt():
     """Prompts ride the initial-token sequence (sot_prev + prompt + sot
     seq) — the speculative prefill must handle the longer window and
@@ -161,8 +183,6 @@ def test_speculative_validation():
             model, draft, DecodingOptions(language="en", temperature=0.5,
                                           without_timestamps=True)
         )
-    with pytest.raises(ValueError, match="without_timestamps"):
-        SpeculativeDecodingTask(model, draft, DecodingOptions(language="en"))
     # decode_speculative convenience: single-segment unbatched mel
     out = decode_speculative(
         model, draft, jnp.asarray(mel[0]),

@@ -223,9 +223,15 @@ class _FilterConfig:
 
 
 def _apply_filters(cfg: _FilterConfig, logits, tokens, cur_len):
-    """All filters as masks over logits (N, V); tokens (N, L); cur_len scalar."""
+    """All filters as masks over logits (N, V); tokens (N, L).
+
+    ``cur_len`` is a scalar (plain greedy/beam: all rows at the same
+    length) or an (N,) vector (speculative decoding: rows and verify
+    positions advance independently) — every rule below is written
+    against the per-row broadcast so both shapes take the same path."""
     n, v = logits.shape
-    is_begin = cur_len == cfg.sample_begin
+    cur_len = jnp.broadcast_to(jnp.asarray(cur_len, jnp.int32), (n,))
+    is_begin = cur_len == cfg.sample_begin  # (N,)
 
     if cfg.apply_suppress and cfg.suppress_tokens:
         sup = np.zeros((v,), np.float32)
@@ -235,7 +241,9 @@ def _apply_filters(cfg: _FilterConfig, logits, tokens, cur_len):
     if cfg.apply_blank and cfg.blank_tokens:
         blank = np.zeros((v,), np.float32)
         blank[list(cfg.blank_tokens)] = NEG_INF
-        logits = jnp.where(is_begin, logits + jnp.asarray(blank)[None, :], logits)
+        logits = jnp.where(
+            is_begin[:, None], logits + jnp.asarray(blank)[None, :], logits
+        )
 
     if cfg.apply_timestamps:
         ts_begin = cfg.timestamp_begin
@@ -245,10 +253,10 @@ def _apply_filters(cfg: _FilterConfig, logits, tokens, cur_len):
         logits = jnp.where(col == cfg.no_timestamps, NEG_INF, logits)
 
         last = jnp.take_along_axis(
-            tokens, jnp.maximum(cur_len - 1, 0)[None, None].repeat(n, 0), axis=1
+            tokens, jnp.maximum(cur_len - 1, 0)[:, None], axis=1
         )[:, 0]
         penult = jnp.take_along_axis(
-            tokens, jnp.maximum(cur_len - 2, 0)[None, None].repeat(n, 0), axis=1
+            tokens, jnp.maximum(cur_len - 2, 0)[:, None], axis=1
         )[:, 0]
         n_sampled = cur_len - cfg.sample_begin
         last_was_ts = (n_sampled >= 1) & (last >= ts_begin)
@@ -266,7 +274,7 @@ def _apply_filters(cfg: _FilterConfig, logits, tokens, cur_len):
         # The rules above guarantee sampled timestamps are non-decreasing,
         # so the masked max equals the reference's "last timestamp".
         pos = jax.lax.broadcasted_iota(jnp.int32, tokens.shape, 1)
-        sampled = (pos >= cfg.sample_begin) & (pos < cur_len)
+        sampled = (pos >= cfg.sample_begin) & (pos < cur_len[:, None])
         is_ts = sampled & (tokens >= ts_begin)
         have_ts = jnp.any(is_ts, axis=1)
         ts_max = jnp.max(jnp.where(is_ts, tokens, -1), axis=1)
@@ -278,10 +286,10 @@ def _apply_filters(cfg: _FilterConfig, logits, tokens, cur_len):
         )
 
         # at the very beginning: timestamps only, capped at max_initial
-        logits = jnp.where(is_begin & (col < ts_begin), NEG_INF, logits)
+        logits = jnp.where(is_begin[:, None] & (col < ts_begin), NEG_INF, logits)
         if cfg.max_initial_timestamp_index is not None:
             last_allowed = ts_begin + cfg.max_initial_timestamp_index
-            logits = jnp.where(is_begin & (col > last_allowed), NEG_INF, logits)
+            logits = jnp.where(is_begin[:, None] & (col > last_allowed), NEG_INF, logits)
 
         # if the total timestamp probability beats any text token, force one
         logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

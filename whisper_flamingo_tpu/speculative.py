@@ -20,10 +20,10 @@ pairing mirrors the repo's own distillation family (SURVEY §2.3 D/E)
 where a small student tracks the flagship teacher.
 
 Scope (asserted): greedy only (``temperature=0``, no beam/best_of — the
-acceptance rule is exact for argmax), ``without_timestamps=True`` (the
-in-loop logit filter is then the static suppress mask; the blank filter
-fires only at the prefill step, which runs through the full
-``_apply_filters``), no conditioning streams. Both models must share the
+acceptance rule is exact for argmax), no conditioning streams. The full
+logit-filter stack (suppress / blank / timestamp rules) applies at every
+drafted and verified position against the hypothesis prefix, so
+timestamped decoding speculates too. Both models must share the
 tokenizer vocabulary and mel bins. Composes with the int8 serving mode
 (``quantize="int8"`` quantizes both models in-program).
 
@@ -87,16 +87,12 @@ def _make_spec_program(
 ):
     """Jitted prefill + speculative loop for one static configuration."""
     K = draft_len
-    sup = np.zeros((dims_v.n_vocab,), np.float32)
-    if cfg.apply_suppress and cfg.suppress_tokens:
-        sup[list(cfg.suppress_tokens)] = NEG_INF
 
     def prefill_and_loop(params_v, params_d, feats_v, feats_d, init_tokens, rng):
         del rng  # greedy-only: acceptance is exact for argmax
         B, init_len = init_tokens.shape
         params_vp = prepare_decode_params(params_v, dtype, quantize)
         params_dp = prepare_decode_params(params_d, dtype, quantize)
-        sup_dev = jnp.asarray(sup)[None, :]
 
         cache_len = max_len + K
         cache_v = init_cache(
@@ -167,16 +163,25 @@ def _make_spec_program(
                 jnp.concatenate([(n - 2)[:, None], (n - 1)[:, None]], axis=1),
                 axis=1,
             )
+            # drafts are written into a scratch copy of the buffer so the
+            # logit filters (timestamp rules read the token history) see
+            # the hypothesis prefix at each drafted/verified position
+            tmp = tokens
+            write1 = jax.vmap(
+                lambda t, v, o: jax.lax.dynamic_update_slice(t, v, (o,))
+            )
             cache_d, cur, drafts = s["cache_d"], first2, []
             for j in range(K):
                 lg, cache_d = decoder_apply(
                     params_dp, dims_d, cur, cache=cache_d,
                     offset=n - 2 + j if j == 0 else n - 1 + j, dtype=dtype,
                 )
-                nxt = jnp.argmax(
-                    lg[:, -1].astype(jnp.float32) + sup_dev, axis=-1
-                ).astype(jnp.int32)
+                flt = _apply_filters(
+                    cfg, lg[:, -1].astype(jnp.float32), tmp, n + j
+                )
+                nxt = jnp.argmax(flt, axis=-1).astype(jnp.int32)
                 drafts.append(nxt)
+                tmp = write1(tmp, nxt[:, None], n + j)
                 cur = nxt[:, None]
             draft = jnp.stack(drafts, axis=1)  # (B, K)
 
@@ -189,10 +194,22 @@ def _make_spec_program(
                 params_vp, dims_v, feed, cache=s["cache_v"],
                 offset=n - 1, dtype=dtype,
             )
-            v_logits = v_logits.astype(jnp.float32) + sup_dev[:, None, :]
-            choice = jnp.argmax(v_logits, axis=-1).astype(jnp.int32)  # (B, K+1)
+            # greedy-equivalent filtering per verify position j: the
+            # buffer prefix there is [accepted..., d_1..d_j] — exactly
+            # greedy's token history when j <= accepted+1 (beyond that
+            # the choices are discarded anyway)
+            flt = jnp.stack(
+                [
+                    _apply_filters(
+                        cfg, v_logits[:, j].astype(jnp.float32), tmp, n + j
+                    )
+                    for j in range(K + 1)
+                ],
+                axis=1,
+            )  # (B, K+1, V)
+            choice = jnp.argmax(flt, axis=-1).astype(jnp.int32)  # (B, K+1)
             tok_lp = jnp.take_along_axis(
-                jax.nn.log_softmax(v_logits, axis=-1), choice[..., None], axis=-1
+                jax.nn.log_softmax(flt, axis=-1), choice[..., None], axis=-1
             )[..., 0]  # (B, K+1)
 
             # -- acceptance: longest matching prefix + bonus token --------
@@ -258,10 +275,6 @@ class SpeculativeDecodingTask(DecodingTask):
             raise ValueError("speculative decoding is greedy-only")
         if options.temperature != 0:
             raise ValueError("speculative decoding requires temperature=0")
-        if not options.without_timestamps:
-            raise ValueError(
-                "speculative decoding currently requires without_timestamps=True"
-            )
         if draft_model.dims.n_vocab != model.dims.n_vocab:
             raise ValueError("draft and verifier must share the vocabulary")
         if draft_model.dims.n_mels != model.dims.n_mels:
