@@ -43,6 +43,20 @@ def test_transcribe_long_audio(model, tmp_path):
             assert key in seg
 
 
+def test_transcribe_with_draft_model(model, tmp_path):
+    """transcribe(draft_model=...) speculates the t=0 greedy rung; the
+    produced segments match a plain-greedy transcribe token-for-token."""
+    wav = _write_wav(tmp_path / "spec.wav")
+    kw = dict(language="en", sample_len=12, fp16=False, temperature=0.0,
+              verbose=None)
+    base = transcribe(model, wav, **kw)
+    got = transcribe(model, wav, draft_model=model, draft_len=2, **kw)
+    assert got["text"] == base["text"]
+    assert [s["tokens"] for s in got["segments"]] == [
+        s["tokens"] for s in base["segments"]
+    ]
+
+
 def test_transcribe_word_timestamps(model, tmp_path):
     wav = _write_wav(tmp_path / "y.wav", seconds=5.0)
     result = transcribe(

@@ -674,6 +674,7 @@ def compiled_program_stats() -> Dict[str, int]:
     docs/performance.md "Compile-time management" for the expected
     counts; tests/test_transcribe.py asserts the bound.
     """
+    from .speculative import _make_spec_program
     from .timing import _alignment_program
 
     return {
@@ -681,6 +682,7 @@ def compiled_program_stats() -> Dict[str, int]:
         "encode_programs": _make_encode_program.cache_info().misses,
         "lang_id_programs": _make_lang_id_program.cache_info().misses,
         "alignment_programs": _alignment_program.cache_info().misses,
+        "speculative_programs": _make_spec_program.cache_info().misses,
     }
 
 

@@ -55,6 +55,8 @@ def transcribe(
     word_timestamps: bool = False,
     prepend_punctuations: str = "\"'“¿([{-",
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+    draft_model: Optional["Whisper"] = None,
+    draft_len: int = 4,
     **decode_options,
 ):
     """Transcribe audio of arbitrary length.
@@ -106,7 +108,21 @@ def transcribe(
             options = DecodingOptions(
                 **kwargs, temperature=t, bucket_prompt_lengths=True
             )
-            decode_result = model.decode(segment, options)
+            if (
+                draft_model is not None
+                and t == 0
+                and kwargs.get("beam_size") is None
+            ):
+                # the t=0 greedy rung speculates (token-identical, fewer
+                # flagship steps); fallback rungs sample, so they decode
+                # plain — speculation's argmax guarantee needs t=0
+                from .speculative import decode_speculative
+
+                decode_result = decode_speculative(
+                    model, draft_model, segment, options, draft_len
+                )
+            else:
+                decode_result = model.decode(segment, options)
 
             needs_fallback = False
             if (
