@@ -71,6 +71,14 @@ def cli():
                         choices=(None, "int8"),
                         help="store decode-loop weights/KV slabs int8 "
                              "(faster serving; small bounded numeric cost)")
+    # TPU-native extension: speculative decoding (speculative.py) — a
+    # small draft model proposes tokens the flagship verifies in one
+    # pass; applies to greedy (t=0, no beam) windows, token-identical
+    parser.add_argument("--draft_model", type=optional_str, default=None,
+                        help="draft model name/path for speculative "
+                             "greedy decoding (e.g. tiny)")
+    parser.add_argument("--draft_len", type=int, default=4,
+                        help="tokens drafted per speculative round")
     # accepted for drop-in compatibility with the reference CLI
     # (`python -m whisper --device cuda --threads 4`); placement and host
     # threading are XLA's job here, so both are documented no-ops
@@ -103,6 +111,10 @@ def cli():
         temperature = [temperature]
 
     model = load_model(model_name, download_root=model_dir)
+    if (draft_name := args.pop("draft_model")) is not None:
+        args["draft_model"] = load_model(draft_name, download_root=model_dir)
+    else:
+        args.pop("draft_len", None)
 
     writer = get_writer(output_format, output_dir)
     word_options = ["highlight_words", "max_line_count", "max_line_width",
