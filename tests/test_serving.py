@@ -28,6 +28,49 @@ def test_batch_transcriber_pads_and_unpads():
     assert again[0].tokens == results[0].tokens
 
 
+def test_continuous_batcher_matches_individual_decodes():
+    """Continuous refill with more requests than slots: every request's
+    tokens must equal its own standalone greedy decode (random-init
+    models EOT at varying points, so slots genuinely refill mid-flight)."""
+    from whisper_flamingo_tpu.audio import N_SAMPLES, log_mel_spectrogram, pad_or_trim
+    from whisper_flamingo_tpu.decoding import DecodingTask
+    from whisper_flamingo_tpu.serving import ContinuousBatcher
+
+    model = load_model("debug")
+    opts = DecodingOptions(
+        language="en", without_timestamps=True, sample_len=10, fp16=False
+    )
+    rng = np.random.default_rng(5)
+    waves = [rng.standard_normal(16000 * (i % 3 + 1)).astype(np.float32) * 0.2
+             for i in range(7)]
+
+    cb = ContinuousBatcher(model, options=opts, slots=3, chunk=4)
+    got = cb.transcribe_segments(waves)
+
+    task = DecodingTask(model, opts)
+    for i, w in enumerate(waves):
+        mel = log_mel_spectrogram(
+            np.asarray(pad_or_trim(w, N_SAMPLES))[None],
+            n_mels=model.dims.n_mels,
+        )
+        ref = task.run(mel)[0]
+        assert got[i].tokens == ref.tokens, f"request {i}"
+        assert abs(got[i].avg_logprob - ref.avg_logprob) < 1e-3
+        assert abs(got[i].no_speech_prob - ref.no_speech_prob) < 1e-5
+
+
+def test_continuous_batcher_validation():
+    from whisper_flamingo_tpu.serving import ContinuousBatcher
+
+    model = load_model("debug")
+    import pytest
+
+    with pytest.raises(ValueError, match="greedy-only"):
+        ContinuousBatcher(model, DecodingOptions(language="en", beam_size=2))
+    with pytest.raises(ValueError, match="language"):
+        ContinuousBatcher(model, DecodingOptions())
+
+
 def test_batch_transcriber_speculative():
     """draft_model switches to speculative decoding; tokens identical."""
     model = load_model("debug")

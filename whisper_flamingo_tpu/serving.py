@@ -22,8 +22,11 @@ from typing import List, Sequence
 
 import numpy as np
 
+from functools import lru_cache
+
 from .audio import N_SAMPLES, load_audio, log_mel_spectrogram, pad_or_trim
 from .decoding import DecodingOptions, DecodingResult, DecodingTask
+from .utils import compression_ratio as _compression_ratio
 
 
 @dataclass
@@ -116,3 +119,281 @@ class BatchTranscriber:
                        **transcribe_kwargs)
             for p in paths
         ]
+
+
+@lru_cache(maxsize=None)
+def _make_cb_programs(dims, cfg, eot, max_len, chunk, dtype, no_speech,
+                      sot_index, quantize):
+    """Compiled pieces of the continuous batcher (one set per static
+    configuration): ``prep`` (one-time param transform), ``prefill``
+    (one request -> one-row state), ``splice`` (insert a row into the
+    batch state, donated/in-place), ``step`` (advance every slot up to
+    ``chunk`` tokens at per-row offsets, donated), ``empty_state``."""
+    import jax
+    import jax.numpy as jnp
+
+    from .decoding import _apply_filters
+    from .models.whisper import (
+        decoder_apply,
+        encoder_apply,
+        init_cache,
+        prepare_decode_params,
+    )
+
+    L = dims.n_text_layer
+
+    def prep(params):
+        return prepare_decode_params(params, dtype, quantize)
+
+    def prefill(params, mel, init_tokens):
+        feats = encoder_apply(params, dims, mel, dtype=dtype)
+        cache = init_cache(
+            params, dims, feats, max_len=max_len, dtype=dtype, quantize=quantize
+        )
+        logits, cache = decoder_apply(
+            params, dims, init_tokens, cache=cache, offset=0, dtype=dtype
+        )
+        init_len = init_tokens.shape[1]
+        nsp = jax.nn.softmax(
+            logits[:, sot_index].astype(jnp.float32), axis=-1
+        )[:, no_speech] if no_speech is not None else jnp.full((1,), jnp.nan)
+        tokens = jnp.full((1, max_len + 1), eot, jnp.int32)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, init_tokens.astype(jnp.int32), (0, 0)
+        )
+        flt = _apply_filters(
+            cfg, logits[:, -1].astype(jnp.float32), tokens,
+            jnp.asarray(init_len, jnp.int32),
+        )
+        t0 = jnp.argmax(flt, axis=-1).astype(jnp.int32)
+        lp0 = jnp.take_along_axis(
+            jax.nn.log_softmax(flt, axis=-1), t0[:, None], axis=1
+        )[:, 0]
+        tokens = jax.lax.dynamic_update_slice(tokens, t0[:, None], (0, init_len))
+        return {
+            "tokens": tokens,
+            "lens": jnp.full((1,), init_len + 1, jnp.int32),
+            "finished": t0 == eot,
+            "sum_logprobs": lp0,
+            "no_speech_probs": nsp,
+            "cache": cache,
+        }
+
+    def empty_state(slots: int):
+        # idle slots are born "finished" with inert lens; splice overwrites
+
+        def z(shape, dt=dtype):
+            return jnp.zeros(shape, dt)
+
+        D, H = dims.n_text_state, dims.n_text_head
+        Ta, Dh = dims.n_audio_ctx, D // H
+        cache = {
+            "k": z((L, slots, max_len, D)),
+            "v": z((L, slots, max_len, D)),
+            "xa_k": z((L, slots, H, Dh, Ta), jnp.int8 if quantize else dtype),
+            "xa_v": z((L, slots, H, Dh, Ta), jnp.int8 if quantize else dtype),
+        }
+        if quantize:
+            cache["xa_k_s"] = z((L, slots, H, 1, 1), jnp.float32)
+            cache["xa_v_s"] = z((L, slots, H, 1, 1), jnp.float32)
+        return {
+            "tokens": jnp.full((slots, max_len + 1), eot, jnp.int32),
+            "lens": jnp.ones((slots,), jnp.int32),
+            "finished": jnp.ones((slots,), bool),
+            "sum_logprobs": jnp.zeros((slots,), jnp.float32),
+            "no_speech_probs": jnp.zeros((slots,), jnp.float32),
+            "cache": cache,
+        }
+
+    def splice(state, one, s):
+        out = dict(state)
+        for key in ("tokens", "lens", "finished", "sum_logprobs", "no_speech_probs"):
+            idx = (s,) + (0,) * (state[key].ndim - 1)
+            out[key] = jax.lax.dynamic_update_slice(state[key], one[key], idx)
+        cache = dict(state["cache"])
+        for key, val in one["cache"].items():
+            idx = (0, s) + (0,) * (val.ndim - 2)
+            cache[key] = jax.lax.dynamic_update_slice(
+                state["cache"][key], val.astype(state["cache"][key].dtype), idx
+            )
+        out["cache"] = cache
+        return out
+
+    def step(params, state):
+        def cond(c):
+            s2, i = c
+            return (i < chunk) & jnp.any(~s2["finished"])
+
+        def body(c):
+            s2, i = c
+            tokens, n = s2["tokens"], s2["lens"]
+            active = ~s2["finished"]
+            last = jnp.take_along_axis(tokens, (n - 1)[:, None], axis=1)
+            lg, cache = decoder_apply(
+                params, dims, last, cache=s2["cache"], offset=n - 1, dtype=dtype
+            )
+            flt = _apply_filters(cfg, lg[:, -1].astype(jnp.float32), tokens, n)
+            nxt = jnp.argmax(flt, axis=-1).astype(jnp.int32)
+            lp = jnp.take_along_axis(
+                jax.nn.log_softmax(flt, axis=-1), nxt[:, None], axis=1
+            )[:, 0]
+            nxt = jnp.where(active, nxt, eot)
+            tokens = jax.vmap(
+                lambda t, v, o: jax.lax.dynamic_update_slice(t, v, (o,))
+            )(tokens, nxt[:, None], n)
+            lens = n + active.astype(jnp.int32)
+            return (
+                dict(
+                    s2,
+                    tokens=tokens,
+                    lens=lens,
+                    sum_logprobs=s2["sum_logprobs"] + lp * active,
+                    finished=s2["finished"] | (nxt == eot) | (lens >= max_len),
+                    cache=cache,
+                ),
+                i + 1,
+            )
+
+        state, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(0, jnp.int32)))
+        return state
+
+    return {
+        "prep": jax.jit(prep),
+        "prefill": jax.jit(prefill),
+        "splice": jax.jit(splice, donate_argnums=(0,)),
+        "step": jax.jit(step, donate_argnums=(1,)),
+        "empty_state": empty_state,
+    }
+
+
+class ContinuousBatcher:
+    """Continuous-batching greedy decode: finished slots refill mid-flight.
+
+    ``BatchTranscriber`` pads requests into fixed batches, so every batch
+    waits for its SLOWEST row — with realistic output-length variance
+    (say 10–100 tokens) roughly half of all row-steps decode padding.
+    This serves a fixed number of ``slots`` instead: rows carry per-row
+    lengths (the vector-offset decode primitives built for speculative
+    decoding), the compiled stepper advances all slots up to ``chunk``
+    tokens per dispatch, and whenever a slot finishes the host splices a
+    freshly prefilled request into its row — throughput is bound by
+    TOTAL tokens, not slots x max tokens.
+
+    Greedy only (per-row beam bookkeeping is a different program);
+    results are token-identical to per-utterance ``decode()`` (pinned in
+    tests/test_serving.py). The reference has no serving story at all
+    (SURVEY §2: decode was a notebook loop); continuous batching is the
+    standard production-serving answer to head-of-line blocking.
+    """
+
+    def __init__(self, model, options: Optional[DecodingOptions] = None,
+                 slots: int = 8, chunk: int = 8):
+        from .decoding import DecodingTask
+
+        self.model = model
+        self.options = options or DecodingOptions(
+            language="en", without_timestamps=True
+        )
+        if self.options.beam_size is not None or self.options.best_of is not None:
+            raise ValueError("continuous batching is greedy-only")
+        if self.options.temperature != 0:
+            raise ValueError("continuous batching requires temperature=0")
+        if self.options.language is None:
+            raise ValueError("continuous batching needs a fixed language")
+        self.slots = slots
+        self.chunk = chunk
+        # borrow DecodingTask's option plumbing (initial tokens, filter
+        # config, max_len) without running its compiled program
+        self._task = DecodingTask(model, self.options)
+        self._programs = _make_cb_programs(
+            model.dims,
+            self._task.filter_cfg,
+            self._task.tokenizer.eot,
+            self._task.max_len,
+            chunk,
+            self._task.compute_dtype,
+            self._task.tokenizer.no_speech,
+            self._task.sot_index,
+            self.options.quantize == "int8",
+        )
+        self._prepped = None
+
+    def _prep(self):
+        if self._prepped is None:
+            self._prepped = self._programs["prep"](self.model.params)
+        return self._prepped
+
+    def _prefill_one(self, wave) -> dict:
+        import jax.numpy as jnp
+
+        padded = np.asarray(pad_or_trim(np.asarray(wave, np.float32), N_SAMPLES))
+        mel = log_mel_spectrogram(padded[None], n_mels=self.model.dims.n_mels)
+        init = jnp.asarray(
+            np.asarray(self._task.initial_tokens, np.int32)[None]
+        )
+        return self._programs["prefill"](self._prep(), jnp.asarray(mel), init)
+
+    def transcribe_segments(self, waveforms: Sequence[np.ndarray]) -> List[DecodingResult]:
+        """Decode <=30 s waveforms with continuous slot refill; returns
+        results in input order."""
+        import jax
+
+        n = len(waveforms)
+        if n == 0:
+            return []
+        queue = list(range(n))
+        results: List[Optional[DecodingResult]] = [None] * n
+        slot_req = [-1] * self.slots  # request index per slot (-1 = idle)
+
+        state = self._programs["empty_state"](self.slots)
+        for s in range(self.slots):
+            if not queue:
+                break
+            req = queue.pop(0)
+            state = self._programs["splice"](state, self._prefill_one(waveforms[req]), s)
+            slot_req[s] = req
+
+        while any(r >= 0 for r in slot_req):
+            state = self._programs["step"](self._prep(), state)
+            finished = np.asarray(jax.device_get(state["finished"]))
+            for s in range(self.slots):
+                req = slot_req[s]
+                if req < 0 or not finished[s]:
+                    continue
+                row = jax.device_get(
+                    jax.tree.map(lambda a: a[s], {
+                        "tokens": state["tokens"],
+                        "sum_logprobs": state["sum_logprobs"],
+                        "no_speech_probs": state["no_speech_probs"],
+                    })
+                )
+                results[req] = self._finalize_row(row)
+                if queue:
+                    nxt = queue.pop(0)
+                    state = self._programs["splice"](
+                        state, self._prefill_one(waveforms[nxt]), s
+                    )
+                    slot_req[s] = nxt
+                else:
+                    slot_req[s] = -1
+        return results  # type: ignore[return-value]
+
+    def _finalize_row(self, row) -> DecodingResult:
+        tokenizer = self._task.tokenizer
+        t = np.asarray(row["tokens"])
+        sb = self._task.sample_begin
+        eots = np.nonzero(t[sb:] == tokenizer.eot)[0]
+        end = sb + (eots[0] if len(eots) else len(t))
+        toks = t[sb:end].tolist()
+        text = tokenizer.decode(toks).strip()
+        lp = float(row["sum_logprobs"])
+        return DecodingResult(
+            audio_features=None,
+            language=self.options.language,
+            tokens=toks,
+            text=text,
+            avg_logprob=lp / (len(toks) + 1),
+            no_speech_prob=float(row["no_speech_probs"]),
+            temperature=0.0,
+            compression_ratio=_compression_ratio(text),
+        )
