@@ -59,6 +59,43 @@ def test_continuous_batcher_matches_individual_decodes():
         assert abs(got[i].no_speech_prob - ref.no_speech_prob) < 1e-5
 
 
+def test_continuous_batcher_per_request_caps():
+    """max_tokens caps each request's generated length independently."""
+    from whisper_flamingo_tpu.serving import ContinuousBatcher
+
+    model = load_model("debug")
+    opts = DecodingOptions(
+        language="en", without_timestamps=True, sample_len=12, fp16=False,
+        # suppress EOT so length is cap-determined
+        suppress_tokens="-1,50257",
+    )
+    rng = np.random.default_rng(8)
+    waves = [rng.standard_normal(16000).astype(np.float32) * 0.2
+             for _ in range(4)]
+    caps = [2, 5, 9, 12]
+    got = ContinuousBatcher(model, options=opts, slots=2, chunk=3).transcribe_segments(
+        waves, max_tokens=caps
+    )
+    assert [len(r.tokens) for r in got] == caps
+
+
+def test_continuous_batcher_int8():
+    """The int8 serving mode composes: quantized weight prep + int8 xa
+    slabs spliced per row."""
+    from whisper_flamingo_tpu.serving import ContinuousBatcher
+
+    model = load_model("debug")
+    opts = DecodingOptions(
+        language="en", without_timestamps=True, sample_len=6, fp16=False,
+        quantize="int8",
+    )
+    rng = np.random.default_rng(6)
+    waves = [rng.standard_normal(16000).astype(np.float32) * 0.2
+             for _ in range(3)]
+    got = ContinuousBatcher(model, options=opts, slots=2, chunk=3).transcribe_segments(waves)
+    assert all(isinstance(r.text, str) and np.isfinite(r.avg_logprob) for r in got)
+
+
 def test_continuous_batcher_validation():
     from whisper_flamingo_tpu.serving import ContinuousBatcher
 

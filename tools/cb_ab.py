@@ -1,0 +1,96 @@
+"""On-chip throughput A/B: continuous batching vs padded batching.
+
+Traffic model: N requests with per-request output budgets drawn from a
+fixed seed (uniform lo..hi tokens) — random-init weights can't control
+their own EOT, so per-request ``max_tokens`` caps stand in for real
+output-length variance (the mechanism being measured is identical).
+EOT is suppressed so caps fully determine lengths.
+
+- padded: BatchTranscriber-style fixed batches of size ``slots`` decode
+  sample_len=hi for every row (a padded batch must budget for its
+  longest possible row);
+- continuous: ContinuousBatcher with the same slots, per-request caps.
+
+Prints seconds-of-audio/sec and tokens/sec for both plus the ratio.
+Usage: python tools/cb_ab.py [model] [n_requests] [slots]
+       # defaults: small 32 8
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/wf_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from whisper_flamingo_tpu.decoding import DecodingOptions, DecodingTask
+    from whisper_flamingo_tpu.audio import N_SAMPLES, log_mel_spectrogram, pad_or_trim
+    from whisper_flamingo_tpu.models.dims import MODEL_DIMS
+    from whisper_flamingo_tpu.models.whisper import Whisper, init_params
+    from whisper_flamingo_tpu.serving import ContinuousBatcher
+    from whisper_flamingo_tpu.tokenizer import get_tokenizer
+
+    model_name = sys.argv[1] if len(sys.argv) > 1 else "small"
+    n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    slots = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    lo, hi = 16, 96
+
+    dims = MODEL_DIMS[model_name]
+    params = jax.jit(lambda k: init_params(k, dims))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    model = Whisper(dims=dims, params=params, dtype=jnp.bfloat16)
+    eot = get_tokenizer(True, language="en", task="transcribe").eot
+
+    rng = np.random.default_rng(0)
+    waves = [rng.standard_normal(480_000).astype(np.float32) * 0.05
+             for _ in range(n_req)]
+    budgets = rng.integers(lo, hi + 1, n_req).tolist()
+    total_tokens = sum(budgets)
+    audio_s = n_req * 30.0
+
+    opts = dict(language="en", without_timestamps=True, fp16=True,
+                suppress_tokens=f"-1,{eot}")
+
+    # --- padded batching: every batch decodes the max budget ---
+    task = DecodingTask(model, DecodingOptions(sample_len=hi, **opts))
+    mels = log_mel_spectrogram(
+        np.stack([np.asarray(pad_or_trim(w, N_SAMPLES)) for w in waves]),
+        n_mels=dims.n_mels,
+    )
+    task.run(mels[:slots])  # compile
+    t0 = time.perf_counter()
+    for i in range(0, n_req, slots):
+        task.run(mels[i : i + slots])
+    t_pad = time.perf_counter() - t0
+
+    # --- continuous batching with per-request caps ---
+    cb = ContinuousBatcher(
+        model, options=DecodingOptions(sample_len=hi, **opts),
+        slots=slots, chunk=8,
+    )
+    cb.transcribe_segments(waves[:slots], max_tokens=budgets[:slots])  # compile
+    t0 = time.perf_counter()
+    out = cb.transcribe_segments(waves, max_tokens=budgets)
+    t_cb = time.perf_counter() - t0
+    got_tokens = sum(len(r.tokens) for r in out)
+
+    print(f"traffic: {n_req} req, budgets {lo}-{hi} (total {total_tokens} tok)")
+    print(f"padded     ({slots}/batch, {hi} tok each): {t_pad:6.2f}s "
+          f"{audio_s / t_pad:7.1f}x RT  {n_req * hi / t_pad:6.0f} tok/s decoded")
+    print(f"continuous ({slots} slots, per-req caps) : {t_cb:6.2f}s "
+          f"{audio_s / t_cb:7.1f}x RT  {got_tokens / t_cb:6.0f} useful tok/s")
+    print(f"speedup: {t_pad / t_cb:.2f}x  (ideal = {n_req * hi / total_tokens:.2f}x "
+          f"at zero refill overhead)")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,7 @@ from .decoding import (  # noqa: F401
     detect_language,
 )
 from .speculative import decode_speculative  # noqa: F401
+from . import serving  # noqa: F401
 from .transcribe import transcribe  # noqa: F401
 
 __version__ = "0.1.0"

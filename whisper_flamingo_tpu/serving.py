@@ -18,7 +18,7 @@ data mesh (tested in tests/test_sharded_decode.py).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -145,7 +145,7 @@ def _make_cb_programs(dims, cfg, eot, max_len, chunk, dtype, no_speech,
     def prep(params):
         return prepare_decode_params(params, dtype, quantize)
 
-    def prefill(params, mel, init_tokens):
+    def prefill(params, mel, init_tokens, cap):
         feats = encoder_apply(params, dims, mel, dtype=dtype)
         cache = init_cache(
             params, dims, feats, max_len=max_len, dtype=dtype, quantize=quantize
@@ -173,7 +173,8 @@ def _make_cb_programs(dims, cfg, eot, max_len, chunk, dtype, no_speech,
         return {
             "tokens": tokens,
             "lens": jnp.full((1,), init_len + 1, jnp.int32),
-            "finished": t0 == eot,
+            "caps": jnp.minimum(cap, max_len).astype(jnp.int32).reshape(1),
+            "finished": (t0 == eot) | (init_len + 1 >= cap),
             "sum_logprobs": lp0,
             "no_speech_probs": nsp,
             "cache": cache,
@@ -199,6 +200,7 @@ def _make_cb_programs(dims, cfg, eot, max_len, chunk, dtype, no_speech,
         return {
             "tokens": jnp.full((slots, max_len + 1), eot, jnp.int32),
             "lens": jnp.ones((slots,), jnp.int32),
+            "caps": jnp.full((slots,), max_len, jnp.int32),
             "finished": jnp.ones((slots,), bool),
             "sum_logprobs": jnp.zeros((slots,), jnp.float32),
             "no_speech_probs": jnp.zeros((slots,), jnp.float32),
@@ -207,7 +209,8 @@ def _make_cb_programs(dims, cfg, eot, max_len, chunk, dtype, no_speech,
 
     def splice(state, one, s):
         out = dict(state)
-        for key in ("tokens", "lens", "finished", "sum_logprobs", "no_speech_probs"):
+        for key in ("tokens", "lens", "caps", "finished", "sum_logprobs",
+                    "no_speech_probs"):
             idx = (s,) + (0,) * (state[key].ndim - 1)
             out[key] = jax.lax.dynamic_update_slice(state[key], one[key], idx)
         cache = dict(state["cache"])
@@ -248,7 +251,7 @@ def _make_cb_programs(dims, cfg, eot, max_len, chunk, dtype, no_speech,
                     tokens=tokens,
                     lens=lens,
                     sum_logprobs=s2["sum_logprobs"] + lp * active,
-                    finished=s2["finished"] | (nxt == eot) | (lens >= max_len),
+                    finished=s2["finished"] | (nxt == eot) | (lens >= s2["caps"]),
                     cache=cache,
                 ),
                 i + 1,
@@ -323,7 +326,7 @@ class ContinuousBatcher:
             self._prepped = self._programs["prep"](self.model.params)
         return self._prepped
 
-    def _prefill_one(self, wave) -> dict:
+    def _prefill_one(self, wave, max_tokens=None) -> dict:
         import jax.numpy as jnp
 
         padded = np.asarray(pad_or_trim(np.asarray(wave, np.float32), N_SAMPLES))
@@ -331,11 +334,22 @@ class ContinuousBatcher:
         init = jnp.asarray(
             np.asarray(self._task.initial_tokens, np.int32)[None]
         )
-        return self._programs["prefill"](self._prep(), jnp.asarray(mel), init)
+        cap = self._task.max_len if max_tokens is None else (
+            self._task.sample_begin + int(max_tokens)
+        )
+        return self._programs["prefill"](
+            self._prep(), jnp.asarray(mel), init, jnp.asarray(cap, jnp.int32)
+        )
 
-    def transcribe_segments(self, waveforms: Sequence[np.ndarray]) -> List[DecodingResult]:
+    def transcribe_segments(
+        self, waveforms: Sequence[np.ndarray],
+        max_tokens: Optional[Sequence[int]] = None,
+    ) -> List[DecodingResult]:
         """Decode <=30 s waveforms with continuous slot refill; returns
-        results in input order."""
+        results in input order. ``max_tokens`` optionally caps each
+        request's generated tokens (serving APIs expose per-request
+        output budgets; also the honest way to benchmark variable-length
+        traffic with random-init weights)."""
         import jax
 
         n = len(waveforms)
@@ -350,7 +364,13 @@ class ContinuousBatcher:
             if not queue:
                 break
             req = queue.pop(0)
-            state = self._programs["splice"](state, self._prefill_one(waveforms[req]), s)
+            state = self._programs["splice"](
+                state,
+                self._prefill_one(
+                    waveforms[req], max_tokens[req] if max_tokens else None
+                ),
+                s,
+            )
             slot_req[s] = req
 
         while any(r >= 0 for r in slot_req):
@@ -371,7 +391,11 @@ class ContinuousBatcher:
                 if queue:
                     nxt = queue.pop(0)
                     state = self._programs["splice"](
-                        state, self._prefill_one(waveforms[nxt]), s
+                        state,
+                        self._prefill_one(
+                            waveforms[nxt], max_tokens[nxt] if max_tokens else None
+                        ),
+                        s,
                     )
                     slot_req[s] = nxt
                 else:
