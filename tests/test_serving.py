@@ -59,6 +59,34 @@ def test_continuous_batcher_matches_individual_decodes():
         assert abs(got[i].no_speech_prob - ref.no_speech_prob) < 1e-5
 
 
+def test_continuous_batcher_speculative_slots():
+    """Continuous batching composes with speculation: slots advance by
+    spec rounds (draft==verifier exercises multi-token acceptance) and
+    every request still matches its standalone greedy decode."""
+    from whisper_flamingo_tpu.audio import N_SAMPLES, log_mel_spectrogram, pad_or_trim
+    from whisper_flamingo_tpu.decoding import DecodingTask
+    from whisper_flamingo_tpu.serving import ContinuousBatcher
+
+    model = load_model("debug")
+    opts = DecodingOptions(
+        language="en", without_timestamps=True, sample_len=10, fp16=False
+    )
+    rng = np.random.default_rng(12)
+    waves = [rng.standard_normal(16000 * (i % 2 + 1)).astype(np.float32) * 0.2
+             for i in range(5)]
+    cb = ContinuousBatcher(
+        model, options=opts, slots=2, chunk=6, draft_model=model, draft_len=2
+    )
+    got = cb.transcribe_segments(waves)
+    task = DecodingTask(model, opts)
+    for i, w in enumerate(waves):
+        mel = log_mel_spectrogram(
+            np.asarray(pad_or_trim(w, N_SAMPLES))[None], n_mels=model.dims.n_mels
+        )
+        ref = task.run(mel)[0]
+        assert got[i].tokens == ref.tokens, f"request {i}"
+
+
 def test_continuous_batcher_per_request_caps():
     """max_tokens caps each request's generated length independently."""
     from whisper_flamingo_tpu.serving import ContinuousBatcher

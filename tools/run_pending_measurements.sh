@@ -36,6 +36,8 @@ run flash64_fwd 1800 python tools/flash64_fwd_probe.py
 run decode_mlp_ab 2400 python tools/decode_mlp_ab.py small 12
 # 4. speculative decoding bounds + cost model
 run spec_ab 2400 python tools/spec_ab.py small tiny 8
+# 5. continuous vs padded batching under variable-length traffic
+run cb_ab 2400 python tools/cb_ab.py small 32 8
 # 5. train-step A/B with the FWD_SUM winner is manual: flip
 #    ops/flash64.py FWD_SUM and run tools/mfu_probe.py twice.
 echo "done $(date)" >> "$OUT/status.txt"

@@ -123,12 +123,17 @@ class BatchTranscriber:
 
 @lru_cache(maxsize=None)
 def _make_cb_programs(dims, cfg, eot, max_len, chunk, dtype, no_speech,
-                      sot_index, quantize):
+                      sot_index, quantize, dims_d=None, draft_len=4):
     """Compiled pieces of the continuous batcher (one set per static
     configuration): ``prep`` (one-time param transform), ``prefill``
     (one request -> one-row state), ``splice`` (insert a row into the
     batch state, donated/in-place), ``step`` (advance every slot up to
-    ``chunk`` tokens at per-row offsets, donated), ``empty_state``."""
+    ``chunk`` tokens at per-row offsets, donated), ``empty_state``.
+
+    With ``dims_d`` (a draft model) the stepper runs speculative rounds
+    (``speculative.make_spec_round``) instead of single greedy steps —
+    continuous batching and speculation compose: each dispatch advances
+    every slot by up to draft_len+1 verified tokens per flagship pass."""
     import jax
     import jax.numpy as jnp
 
@@ -140,24 +145,35 @@ def _make_cb_programs(dims, cfg, eot, max_len, chunk, dtype, no_speech,
         prepare_decode_params,
     )
 
-    L = dims.n_text_layer
+    spec = dims_d is not None
+    K = draft_len
+    cache_len = max_len + (K if spec else 0)
+    buf_w = max_len + (K if spec else 1)
 
     def prep(params):
         return prepare_decode_params(params, dtype, quantize)
 
-    def prefill(params, mel, init_tokens, cap):
-        feats = encoder_apply(params, dims, mel, dtype=dtype)
+    def _prefill_model(params, model_dims, mel, init_tokens):
+        feats = encoder_apply(params, model_dims, mel, dtype=dtype)
         cache = init_cache(
-            params, dims, feats, max_len=max_len, dtype=dtype, quantize=quantize
+            params, model_dims, feats, max_len=cache_len, dtype=dtype,
+            quantize=quantize,
         )
         logits, cache = decoder_apply(
-            params, dims, init_tokens, cache=cache, offset=0, dtype=dtype
+            params, model_dims, init_tokens, cache=cache, offset=0, dtype=dtype
         )
+        return logits, cache
+
+    def prefill(params_v, mel, init_tokens, cap, params_d=None):
+        logits, cache_v = _prefill_model(params_v, dims, mel, init_tokens)
+        row = {"cache_v": cache_v}
+        if spec:
+            _, row["cache_d"] = _prefill_model(params_d, dims_d, mel, init_tokens)
         init_len = init_tokens.shape[1]
         nsp = jax.nn.softmax(
             logits[:, sot_index].astype(jnp.float32), axis=-1
         )[:, no_speech] if no_speech is not None else jnp.full((1,), jnp.nan)
-        tokens = jnp.full((1, max_len + 1), eot, jnp.int32)
+        tokens = jnp.full((1, buf_w), eot, jnp.int32)
         tokens = jax.lax.dynamic_update_slice(
             tokens, init_tokens.astype(jnp.int32), (0, 0)
         )
@@ -170,42 +186,49 @@ def _make_cb_programs(dims, cfg, eot, max_len, chunk, dtype, no_speech,
             jax.nn.log_softmax(flt, axis=-1), t0[:, None], axis=1
         )[:, 0]
         tokens = jax.lax.dynamic_update_slice(tokens, t0[:, None], (0, init_len))
-        return {
-            "tokens": tokens,
-            "lens": jnp.full((1,), init_len + 1, jnp.int32),
-            "caps": jnp.minimum(cap, max_len).astype(jnp.int32).reshape(1),
-            "finished": (t0 == eot) | (init_len + 1 >= cap),
-            "sum_logprobs": lp0,
-            "no_speech_probs": nsp,
-            "cache": cache,
-        }
+        row.update(
+            tokens=tokens,
+            lens=jnp.full((1,), init_len + 1, jnp.int32),
+            caps=jnp.minimum(cap, max_len).astype(jnp.int32).reshape(1),
+            finished=(t0 == eot) | (init_len + 1 >= cap),
+            sum_logprobs=lp0,
+            no_speech_probs=nsp,
+        )
+        return row
 
-    def empty_state(slots: int):
-        # idle slots are born "finished" with inert lens; splice overwrites
-
+    def _cache_zeros(model_dims, slots):
         def z(shape, dt=dtype):
             return jnp.zeros(shape, dt)
 
-        D, H = dims.n_text_state, dims.n_text_head
-        Ta, Dh = dims.n_audio_ctx, D // H
+        L = model_dims.n_text_layer
+        D, H = model_dims.n_text_state, model_dims.n_text_head
+        Ta, Dh = model_dims.n_audio_ctx, D // H
         cache = {
-            "k": z((L, slots, max_len, D)),
-            "v": z((L, slots, max_len, D)),
+            "k": z((L, slots, cache_len, D)),
+            "v": z((L, slots, cache_len, D)),
             "xa_k": z((L, slots, H, Dh, Ta), jnp.int8 if quantize else dtype),
             "xa_v": z((L, slots, H, Dh, Ta), jnp.int8 if quantize else dtype),
         }
         if quantize:
             cache["xa_k_s"] = z((L, slots, H, 1, 1), jnp.float32)
             cache["xa_v_s"] = z((L, slots, H, 1, 1), jnp.float32)
-        return {
-            "tokens": jnp.full((slots, max_len + 1), eot, jnp.int32),
-            "lens": jnp.ones((slots,), jnp.int32),
+        return cache
+
+    def empty_state(slots: int):
+        # idle slots are born "finished" with inert lens (2: the spec
+        # round gathers positions n-2/n-1); splice overwrites
+        state = {
+            "tokens": jnp.full((slots, buf_w), eot, jnp.int32),
+            "lens": jnp.full((slots,), 2, jnp.int32),
             "caps": jnp.full((slots,), max_len, jnp.int32),
             "finished": jnp.ones((slots,), bool),
             "sum_logprobs": jnp.zeros((slots,), jnp.float32),
             "no_speech_probs": jnp.zeros((slots,), jnp.float32),
-            "cache": cache,
+            "cache_v": _cache_zeros(dims, slots),
         }
+        if spec:
+            state["cache_d"] = _cache_zeros(dims_d, slots)
+        return state
 
     def splice(state, one, s):
         out = dict(state)
@@ -213,49 +236,61 @@ def _make_cb_programs(dims, cfg, eot, max_len, chunk, dtype, no_speech,
                     "no_speech_probs"):
             idx = (s,) + (0,) * (state[key].ndim - 1)
             out[key] = jax.lax.dynamic_update_slice(state[key], one[key], idx)
-        cache = dict(state["cache"])
-        for key, val in one["cache"].items():
-            idx = (0, s) + (0,) * (val.ndim - 2)
-            cache[key] = jax.lax.dynamic_update_slice(
-                state["cache"][key], val.astype(state["cache"][key].dtype), idx
-            )
-        out["cache"] = cache
+        for ck in ("cache_v", "cache_d") if spec else ("cache_v",):
+            cache = dict(state[ck])
+            for key, val in one[ck].items():
+                idx = (0, s) + (0,) * (val.ndim - 2)
+                cache[key] = jax.lax.dynamic_update_slice(
+                    state[ck][key], val.astype(state[ck][key].dtype), idx
+                )
+            out[ck] = cache
         return out
 
-    def step(params, state):
+    def greedy_body(params_v, s2):
+        tokens, n = s2["tokens"], s2["lens"]
+        active = ~s2["finished"]
+        last = jnp.take_along_axis(tokens, (n - 1)[:, None], axis=1)
+        lg, cache = decoder_apply(
+            params_v, dims, last, cache=s2["cache_v"], offset=n - 1, dtype=dtype
+        )
+        flt = _apply_filters(cfg, lg[:, -1].astype(jnp.float32), tokens, n)
+        nxt = jnp.argmax(flt, axis=-1).astype(jnp.int32)
+        lp = jnp.take_along_axis(
+            jax.nn.log_softmax(flt, axis=-1), nxt[:, None], axis=1
+        )[:, 0]
+        nxt = jnp.where(active, nxt, eot)
+        tokens = jax.vmap(
+            lambda t, v, o: jax.lax.dynamic_update_slice(t, v, (o,))
+        )(tokens, nxt[:, None], n)
+        lens = n + active.astype(jnp.int32)
+        return dict(
+            s2,
+            tokens=tokens,
+            lens=lens,
+            sum_logprobs=s2["sum_logprobs"] + lp * active,
+            finished=s2["finished"] | (nxt == eot) | (lens >= s2["caps"]),
+            cache_v=cache,
+        )
+
+    if spec:
+        from .speculative import make_spec_round
+
+        round_fn = make_spec_round(dims, dims_d, cfg, eot, K, dtype)
+        n_iters = max(1, -(-chunk // (K + 1)))
+    else:
+        n_iters = chunk
+
+    def step(params_v, state, params_d=None):
         def cond(c):
             s2, i = c
-            return (i < chunk) & jnp.any(~s2["finished"])
+            return (i < n_iters) & jnp.any(~s2["finished"])
 
         def body(c):
             s2, i = c
-            tokens, n = s2["tokens"], s2["lens"]
-            active = ~s2["finished"]
-            last = jnp.take_along_axis(tokens, (n - 1)[:, None], axis=1)
-            lg, cache = decoder_apply(
-                params, dims, last, cache=s2["cache"], offset=n - 1, dtype=dtype
-            )
-            flt = _apply_filters(cfg, lg[:, -1].astype(jnp.float32), tokens, n)
-            nxt = jnp.argmax(flt, axis=-1).astype(jnp.int32)
-            lp = jnp.take_along_axis(
-                jax.nn.log_softmax(flt, axis=-1), nxt[:, None], axis=1
-            )[:, 0]
-            nxt = jnp.where(active, nxt, eot)
-            tokens = jax.vmap(
-                lambda t, v, o: jax.lax.dynamic_update_slice(t, v, (o,))
-            )(tokens, nxt[:, None], n)
-            lens = n + active.astype(jnp.int32)
-            return (
-                dict(
-                    s2,
-                    tokens=tokens,
-                    lens=lens,
-                    sum_logprobs=s2["sum_logprobs"] + lp * active,
-                    finished=s2["finished"] | (nxt == eot) | (lens >= s2["caps"]),
-                    cache=cache,
-                ),
-                i + 1,
-            )
+            # round_fn's dict(s, ...) carries the extra no_speech_probs
+            # field through untouched
+            s2 = round_fn(params_v, params_d, s2) if spec else greedy_body(params_v, s2)
+            return (s2, i + 1)
 
         state, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(0, jnp.int32)))
         return state
@@ -290,10 +325,13 @@ class ContinuousBatcher:
     """
 
     def __init__(self, model, options: Optional[DecodingOptions] = None,
-                 slots: int = 8, chunk: int = 8):
+                 slots: int = 8, chunk: int = 8, draft_model=None,
+                 draft_len: int = 4):
         from .decoding import DecodingTask
 
         self.model = model
+        self.draft_model = draft_model
+        self.draft_len = draft_len
         self.options = options or DecodingOptions(
             language="en", without_timestamps=True
         )
@@ -303,6 +341,11 @@ class ContinuousBatcher:
             raise ValueError("continuous batching requires temperature=0")
         if self.options.language is None:
             raise ValueError("continuous batching needs a fixed language")
+        if draft_model is not None:
+            if draft_model.dims.n_vocab != model.dims.n_vocab:
+                raise ValueError("draft and verifier must share the vocabulary")
+            if draft_model.dims.n_mels != model.dims.n_mels:
+                raise ValueError("draft and verifier must share the mel frontend")
         self.slots = slots
         self.chunk = chunk
         # borrow DecodingTask's option plumbing (initial tokens, filter
@@ -318,12 +361,17 @@ class ContinuousBatcher:
             self._task.tokenizer.no_speech,
             self._task.sot_index,
             self.options.quantize == "int8",
+            dims_d=draft_model.dims if draft_model is not None else None,
+            draft_len=draft_len,
         )
         self._prepped = None
+        self._prepped_d = None
 
     def _prep(self):
         if self._prepped is None:
             self._prepped = self._programs["prep"](self.model.params)
+            if self.draft_model is not None:
+                self._prepped_d = self._programs["prep"](self.draft_model.params)
         return self._prepped
 
     def _prefill_one(self, wave, max_tokens=None) -> dict:
@@ -337,8 +385,12 @@ class ContinuousBatcher:
         cap = self._task.max_len if max_tokens is None else (
             self._task.sample_begin + int(max_tokens)
         )
+        kw = {}
+        if self.draft_model is not None:
+            self._prep()
+            kw["params_d"] = self._prepped_d
         return self._programs["prefill"](
-            self._prep(), jnp.asarray(mel), init, jnp.asarray(cap, jnp.int32)
+            self._prep(), jnp.asarray(mel), init, jnp.asarray(cap, jnp.int32), **kw
         )
 
     def transcribe_segments(
@@ -374,7 +426,12 @@ class ContinuousBatcher:
             slot_req[s] = req
 
         while any(r >= 0 for r in slot_req):
-            state = self._programs["step"](self._prep(), state)
+            if self.draft_model is not None:
+                state = self._programs["step"](
+                    self._prep(), state, params_d=self._prepped_d
+                )
+            else:
+                state = self._programs["step"](self._prep(), state)
             finished = np.asarray(jax.device_get(state["finished"]))
             for s in range(self.slots):
                 req = slot_req[s]

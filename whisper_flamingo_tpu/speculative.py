@@ -72,6 +72,118 @@ from .models.whisper import (
 NEG_INF = float("-inf")
 
 
+def make_spec_round(dims_v, dims_d, cfg: _FilterConfig, eot: int, K: int, dtype):
+    """One draft-K-verify-accept round over per-row state — the shared
+    engine of ``_make_spec_program``'s while-loop and the continuous
+    batcher's speculative stepper (``serving.ContinuousBatcher``).
+
+    State contract: ``tokens`` (B, >= max(caps)+K) eot-filled buffer,
+    ``lens``/``caps``/``finished`` (B,), ``sum_logprobs`` (B,),
+    ``cache_v``/``cache_d`` decode caches with >= max(caps)+K slots, plus
+    optional ``accepted``/``rounds`` scalar diagnostics. Rows advance by
+    (accepted prefix + bonus) each call, clamped per-row at ``caps`` and
+    first EOT; inactive rows are no-ops (their cache rewrites reproduce
+    existing values)."""
+    pos_k = jnp.arange(K + 1, dtype=jnp.int32)[None, :]  # (1, K+1)
+
+    def round_fn(params_vp, params_dp, s):
+        tokens, n, caps = s["tokens"], s["lens"], s["caps"]
+        active = ~s["finished"] & (n < caps)
+        last = jnp.take_along_axis(tokens, (n - 1)[:, None], axis=1)
+
+        # -- draft K tokens at per-row offsets ----------------------------
+        # The first step feeds TWO tokens [s(n-2), s(n-1)] at offset n-2:
+        # after a fully-accepted round (a == K, K+1 tokens appended) the
+        # draft cache is one slot behind the verifier's (it never fed its
+        # own d_K), and this re-feed repairs exactly that slot; in every
+        # other case it rewrites an already-valid slot with the same value.
+        first2 = jnp.take_along_axis(
+            tokens,
+            jnp.concatenate([(n - 2)[:, None], (n - 1)[:, None]], axis=1),
+            axis=1,
+        )
+        # drafts are written into a scratch copy of the buffer so the
+        # logit filters (timestamp rules read the token history) see the
+        # hypothesis prefix at each drafted/verified position
+        tmp = tokens
+        write1 = jax.vmap(
+            lambda t, v, o: jax.lax.dynamic_update_slice(t, v, (o,))
+        )
+        cache_d, cur, drafts = s["cache_d"], first2, []
+        for j in range(K):
+            lg, cache_d = decoder_apply(
+                params_dp, dims_d, cur, cache=cache_d,
+                offset=n - 2 + j if j == 0 else n - 1 + j, dtype=dtype,
+            )
+            flt = _apply_filters(cfg, lg[:, -1].astype(jnp.float32), tmp, n + j)
+            nxt = jnp.argmax(flt, axis=-1).astype(jnp.int32)
+            drafts.append(nxt)
+            tmp = write1(tmp, nxt[:, None], n + j)
+            cur = nxt[:, None]
+        draft = jnp.stack(drafts, axis=1)  # (B, K)
+
+        # -- verify in one forward -----------------------------------------
+        # K+1 positions: the verifier's choice after ALL K drafts is the
+        # classical bonus token, so a fully-accepted round nets K+1 tokens
+        # from one flagship weight stream
+        feed = jnp.concatenate([last, draft], axis=1)  # (B, K+1)
+        v_logits, cache_v = decoder_apply(
+            params_vp, dims_v, feed, cache=s["cache_v"],
+            offset=n - 1, dtype=dtype,
+        )
+        # greedy-equivalent filtering per verify position j: the buffer
+        # prefix there is [accepted..., d_1..d_j] — exactly greedy's token
+        # history when j <= accepted+1 (beyond that the choices are
+        # discarded anyway)
+        flt = jnp.stack(
+            [
+                _apply_filters(
+                    cfg, v_logits[:, j].astype(jnp.float32), tmp, n + j
+                )
+                for j in range(K + 1)
+            ],
+            axis=1,
+        )  # (B, K+1, V)
+        choice = jnp.argmax(flt, axis=-1).astype(jnp.int32)  # (B, K+1)
+        tok_lp = jnp.take_along_axis(
+            jax.nn.log_softmax(flt, axis=-1), choice[..., None], axis=-1
+        )[..., 0]  # (B, K+1)
+
+        # -- acceptance: longest matching prefix + bonus token -------------
+        match = (choice[:, :K] == draft).astype(jnp.int32)
+        a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # (B,) in [0, K]
+        n_new = a + 1  # accepted prefix + bonus, in [1, K+1]
+        n_new = jnp.minimum(n_new, caps - n)  # per-row token budget
+        takes = pos_k < n_new[:, None]  # (B, K+1)
+        hit_eot = (choice == eot) & takes
+        has_eot = jnp.any(hit_eot, axis=1)
+        first_eot = jnp.argmax(hit_eot, axis=1)
+        n_new = jnp.where(has_eot, first_eot + 1, n_new)
+        n_new = jnp.where(active, n_new, 0)
+        takes = pos_k < n_new[:, None]
+
+        vals = jnp.where(takes, choice, eot)
+        tokens = jax.vmap(
+            lambda t, v, o: jax.lax.dynamic_update_slice(t, v, (o,))
+        )(tokens, vals, n)
+        lens = n + n_new
+        out = dict(
+            s,
+            tokens=tokens,
+            lens=lens,
+            finished=s["finished"] | jnp.any(hit_eot, axis=1) | (lens >= caps),
+            sum_logprobs=s["sum_logprobs"] + jnp.sum(tok_lp * takes, axis=1),
+            cache_v=cache_v,
+            cache_d=cache_d,
+        )
+        if "accepted" in s:
+            out["accepted"] = s["accepted"] + jnp.sum(n_new)
+            out["rounds"] = s["rounds"] + 1
+        return out
+
+    return round_fn
+
+
 @lru_cache(maxsize=None)
 def _make_spec_program(
     dims_v,
@@ -133,6 +245,7 @@ def _make_spec_program(
         state = {
             "tokens": tokens,
             "lens": jnp.full((B,), init_len + 1, jnp.int32),
+            "caps": jnp.full((B,), max_len, jnp.int32),
             "finished": t0 == eot,
             "sum_logprobs": lp0,
             "cache_v": cache_v,
@@ -141,106 +254,13 @@ def _make_spec_program(
             "rounds": jnp.zeros((), jnp.int32),
         }
 
-        pos_k = jnp.arange(K + 1, dtype=jnp.int32)[None, :]  # (1, K+1)
+        round_fn = make_spec_round(dims_v, dims_d, cfg, eot, K, dtype)
 
         def cond(s):
-            return jnp.any(~s["finished"] & (s["lens"] < max_len))
+            return jnp.any(~s["finished"] & (s["lens"] < s["caps"]))
 
         def body(s):
-            tokens, n = s["tokens"], s["lens"]
-            active = ~s["finished"] & (n < max_len)
-            last = jnp.take_along_axis(tokens, (n - 1)[:, None], axis=1)
-
-            # -- draft K tokens at per-row offsets ------------------------
-            # The first step feeds TWO tokens [s(n-2), s(n-1)] at offset
-            # n-2: after a fully-accepted round (a == K, K+1 tokens
-            # appended) the draft cache is one slot behind the verifier's
-            # (it never fed its own d_K), and this re-feed repairs exactly
-            # that slot; in every other case it rewrites an already-valid
-            # slot with the same value.
-            first2 = jnp.take_along_axis(
-                tokens,
-                jnp.concatenate([(n - 2)[:, None], (n - 1)[:, None]], axis=1),
-                axis=1,
-            )
-            # drafts are written into a scratch copy of the buffer so the
-            # logit filters (timestamp rules read the token history) see
-            # the hypothesis prefix at each drafted/verified position
-            tmp = tokens
-            write1 = jax.vmap(
-                lambda t, v, o: jax.lax.dynamic_update_slice(t, v, (o,))
-            )
-            cache_d, cur, drafts = s["cache_d"], first2, []
-            for j in range(K):
-                lg, cache_d = decoder_apply(
-                    params_dp, dims_d, cur, cache=cache_d,
-                    offset=n - 2 + j if j == 0 else n - 1 + j, dtype=dtype,
-                )
-                flt = _apply_filters(
-                    cfg, lg[:, -1].astype(jnp.float32), tmp, n + j
-                )
-                nxt = jnp.argmax(flt, axis=-1).astype(jnp.int32)
-                drafts.append(nxt)
-                tmp = write1(tmp, nxt[:, None], n + j)
-                cur = nxt[:, None]
-            draft = jnp.stack(drafts, axis=1)  # (B, K)
-
-            # -- verify in one forward ------------------------------------
-            # K+1 positions: the verifier's choice after ALL K drafts is
-            # the classical bonus token, so a fully-accepted round nets
-            # K+1 tokens from one flagship weight stream
-            feed = jnp.concatenate([last, draft], axis=1)  # (B, K+1)
-            v_logits, cache_v = decoder_apply(
-                params_vp, dims_v, feed, cache=s["cache_v"],
-                offset=n - 1, dtype=dtype,
-            )
-            # greedy-equivalent filtering per verify position j: the
-            # buffer prefix there is [accepted..., d_1..d_j] — exactly
-            # greedy's token history when j <= accepted+1 (beyond that
-            # the choices are discarded anyway)
-            flt = jnp.stack(
-                [
-                    _apply_filters(
-                        cfg, v_logits[:, j].astype(jnp.float32), tmp, n + j
-                    )
-                    for j in range(K + 1)
-                ],
-                axis=1,
-            )  # (B, K+1, V)
-            choice = jnp.argmax(flt, axis=-1).astype(jnp.int32)  # (B, K+1)
-            tok_lp = jnp.take_along_axis(
-                jax.nn.log_softmax(flt, axis=-1), choice[..., None], axis=-1
-            )[..., 0]  # (B, K+1)
-
-            # -- acceptance: longest matching prefix + bonus token --------
-            match = (choice[:, :K] == draft).astype(jnp.int32)
-            a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # (B,) in [0, K]
-            n_new = a + 1  # accepted prefix + bonus, in [1, K+1]
-            n_new = jnp.minimum(n_new, max_len - n)  # token budget
-            takes = pos_k < n_new[:, None]  # (B, K+1)
-            hit_eot = (choice == eot) & takes
-            has_eot = jnp.any(hit_eot, axis=1)
-            first_eot = jnp.argmax(hit_eot, axis=1)
-            n_new = jnp.where(has_eot, first_eot + 1, n_new)
-            n_new = jnp.where(active, n_new, 0)
-            takes = pos_k < n_new[:, None]
-
-            vals = jnp.where(takes, choice, eot)
-            tokens = jax.vmap(
-                lambda t, v, o: jax.lax.dynamic_update_slice(t, v, (o,))
-            )(tokens, vals, n)
-            lens = n + n_new
-            return dict(
-                s,
-                tokens=tokens,
-                lens=lens,
-                finished=s["finished"] | jnp.any(hit_eot, axis=1) | (lens >= max_len),
-                sum_logprobs=s["sum_logprobs"] + jnp.sum(tok_lp * takes, axis=1),
-                cache_v=cache_v,
-                cache_d=cache_d,
-                accepted=s["accepted"] + jnp.sum(n_new),
-                rounds=s["rounds"] + 1,
-            )
+            return round_fn(params_vp, params_dp, s)
 
         state = jax.lax.while_loop(cond, body, state)
         return {
