@@ -104,9 +104,35 @@ def _train_bench(dims, params, iters):
     return dt * 1000, mfu(flops / dt, "v5e")
 
 
+_RESULT: dict = {}  # filled progressively; emitted once
+_EMITTED = False
+
+
+def _emit() -> None:
+    """Print the (possibly partial) result line exactly once. A driver
+    timeout mid-flagship (cold remote compiles are 1-5 min each) sends
+    SIGTERM; the headline numbers measured so far must not be lost."""
+    global _EMITTED
+    if _EMITTED or "value" not in _RESULT:
+        return
+    _EMITTED = True
+    print(json.dumps(_RESULT), flush=True)
+
+
+def _on_signal(sig, frame):
+    _RESULT["bench_interrupted"] = f"signal {sig}"
+    _emit()
+    sys.exit(1)
+
+
 def main() -> None:
+    import signal
+
     import jax
     import jax.numpy as jnp
+
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(_sig, _on_signal)
 
     platform = os.environ.get("WF_BENCH_PLATFORM")
     if platform:
@@ -141,6 +167,14 @@ def main() -> None:
 
     greedy_rtf, greedy_tok_s = _decode_bench(model, mel, sample_len, None, iters, eot)
     print(f"greedy: rtf={greedy_rtf:.1f} tok/s={greedy_tok_s:.0f}", file=sys.stderr)
+    _RESULT.update({
+        "metric": f"greedy_decode_rtf_{model_name}_b{batch}",
+        "value": round(greedy_rtf, 3),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(greedy_rtf / 5.0, 3),
+        "greedy_tokens_per_sec": round(greedy_tok_s, 1),
+        "decode_budget_guard": f"full {sample_len} tokens/segment (EOT suppressed)",
+    })
     # int8 serving mode (DecodingOptions(quantize="int8")): same program
     # shape, loop-resident operands stored int8 (see docs/performance.md).
     # Guarded: an int8-path failure must not lose the headline metric.
@@ -150,19 +184,24 @@ def main() -> None:
     except Exception as e:
         int8_rtf = 0.0
         print(f"int8 bench failed: {e}", file=sys.stderr)
+    _RESULT[f"greedy_int8_rtf_{model_name}_b{batch}"] = round(int8_rtf, 3)
     beam_rtf, beam_tok_s = _decode_bench(
         model, mel, sample_len, 15, max(iters // 3, 1), eot
     )
     print(f"beam15: rtf={beam_rtf:.1f} tok/s={beam_tok_s:.0f}", file=sys.stderr)
+    _RESULT[f"beam15_decode_rtf_{model_name}_b{batch}"] = round(beam_rtf, 3)
+    _RESULT["beam15_tokens_per_sec"] = round(beam_tok_s, 1)
     train_ms, train_mfu = _train_bench(dims, params, max(iters // 2, 2))
     print(f"train: {train_ms:.1f} ms/step mfu={train_mfu:.3f}", file=sys.stderr)
+    _RESULT[f"train_step_ms_{model_name}_b{batch}"] = round(train_ms, 2)
+    _RESULT["train_mfu_v5e"] = round(train_mfu, 4)
 
     # flagship: the reference's published protocol on its published model
     # size — large-v2 greedy AND beam-15 (README.md:96-101,113-117), with
     # the same full-token-budget guard, in the driver-verified artifact
     # (VERDICT r2 #2). Same-chip sequential run after freeing the small
     # model's buffers.
-    flagship: dict = {}
+
     flagship_name = os.environ.get("WF_BENCH_FLAGSHIP", "large-v2")
     if flagship_name:
         del model, params
@@ -171,10 +210,12 @@ def main() -> None:
             lparams = jax.jit(lambda k: init_params(k, ldims))(jax.random.PRNGKey(0))
             jax.block_until_ready(lparams)
             lmodel = Whisper(dims=ldims, params=lparams, dtype=jnp.bfloat16)
+            key = flagship_name.replace("-", "_").replace(".", "_")
             lg_rtf, _ = _decode_bench(
                 lmodel, mel, sample_len, None, max(iters // 3, 2), eot
             )
             print(f"{flagship_name} greedy: rtf={lg_rtf:.1f}", file=sys.stderr)
+            _RESULT[f"{key}_greedy_rtf_b{batch}"] = round(lg_rtf, 3)
             try:
                 li_rtf, _ = _decode_bench(
                     lmodel, mel, sample_len, None, max(iters // 3, 2), eot, "int8"
@@ -183,36 +224,15 @@ def main() -> None:
                 li_rtf = 0.0
                 print(f"flagship int8 bench failed: {e}", file=sys.stderr)
             print(f"{flagship_name} greedy int8: rtf={li_rtf:.1f}", file=sys.stderr)
+            _RESULT[f"{key}_greedy_int8_rtf_b{batch}"] = round(li_rtf, 3)
             lb_rtf, _ = _decode_bench(lmodel, mel, sample_len, 15, 2, eot)
             print(f"{flagship_name} beam15: rtf={lb_rtf:.1f}", file=sys.stderr)
-            key = flagship_name.replace("-", "_").replace(".", "_")
-            flagship = {
-                f"{key}_greedy_rtf_b{batch}": round(lg_rtf, 3),
-                f"{key}_greedy_int8_rtf_b{batch}": round(li_rtf, 3),
-                f"{key}_beam15_rtf_b{batch}": round(lb_rtf, 3),
-            }
+            _RESULT[f"{key}_beam15_rtf_b{batch}"] = round(lb_rtf, 3)
         except Exception as e:  # flagship failure must not lose the headline
-            flagship = {"flagship_error": f"{type(e).__name__}: {e}"}
+            _RESULT["flagship_error"] = f"{type(e).__name__}: {e}"
             print(f"flagship bench failed: {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"greedy_decode_rtf_{model_name}_b{batch}",
-                "value": round(greedy_rtf, 3),
-                "unit": "x_realtime_per_chip",
-                "vs_baseline": round(greedy_rtf / 5.0, 3),
-                "greedy_tokens_per_sec": round(greedy_tok_s, 1),
-                f"greedy_int8_rtf_{model_name}_b{batch}": round(int8_rtf, 3),
-                f"beam15_decode_rtf_{model_name}_b{batch}": round(beam_rtf, 3),
-                "beam15_tokens_per_sec": round(beam_tok_s, 1),
-                f"train_step_ms_{model_name}_b{batch}": round(train_ms, 2),
-                "train_mfu_v5e": round(train_mfu, 4),
-                **flagship,
-                "decode_budget_guard": f"full {sample_len} tokens/segment (EOT suppressed)",
-            }
-        )
-    )
+    _emit()
 
 
 if __name__ == "__main__":
