@@ -116,8 +116,8 @@ def test_speculative_full_acceptance_path():
     assert rounds == 3, rounds
 
 
-@pytest.mark.parametrize("timestamps", [False, True])
-def test_speculative_with_timestamps(timestamps):
+@pytest.mark.parametrize("with_timestamps", [False, True])
+def test_speculative_with_timestamps(with_timestamps):
     """The timestamp logit rules apply per drafted/verified position
     against the hypothesis prefix — tokens (incl. timestamp tokens and
     the pairing/monotonicity rules) match plain greedy exactly."""
@@ -126,7 +126,7 @@ def test_speculative_with_timestamps(timestamps):
     mel = rng.standard_normal((2, DIMS.n_mels, 3000)).astype(np.float32) * 0.4
     opts = DecodingOptions(
         language="en", fp16=False, sample_len=10,
-        without_timestamps=timestamps,
+        without_timestamps=not with_timestamps,
     )
     base = DecodingTask(model, opts).run(mel)
     got = SpeculativeDecodingTask(model, draft, opts, draft_len=3).run(mel)
@@ -136,6 +136,62 @@ def test_speculative_with_timestamps(timestamps):
     got2 = SpeculativeDecodingTask(model, model, opts, draft_len=3).run(mel)
     for b, g in zip(base, got2):
         assert g.tokens == b.tokens
+
+
+def test_spec_round_cap_finished_row_keeps_last_token():
+    """Regression (review finding): a row sitting at lens == caps ==
+    max_len (full budget, no EOT) while other rows keep decoding must
+    keep its final token — the round's (K+1)-wide all-EOT write for
+    inactive rows previously clamped its start index back onto position
+    max_len-1 and clobbered the last real token. Drives make_spec_round
+    directly with manufactured uneven per-row state."""
+    import jax.numpy as jnp
+
+    from whisper_flamingo_tpu.decoding import DecodingTask
+    from whisper_flamingo_tpu.models.whisper import (
+        init_cache, prepare_decode_params,
+    )
+    from whisper_flamingo_tpu.speculative import make_spec_round
+
+    model, draft = _models()
+    opts = DecodingOptions(
+        language="en", fp16=False, sample_len=6, without_timestamps=True
+    )
+    task = DecodingTask(model, opts)
+    K, max_len = 3, task.max_len
+    pv = prepare_decode_params(model.params, jnp.float32, False)
+    pd = prepare_decode_params(draft.params, jnp.float32, False)
+    rng = np.random.default_rng(14)
+    B = 2
+    xa_v = jnp.asarray(
+        rng.standard_normal((B, DIMS.n_audio_ctx, DIMS.n_text_state)), jnp.float32
+    )
+    xa_d = jnp.asarray(
+        rng.standard_normal((B, draft.dims.n_audio_ctx, draft.dims.n_text_state)),
+        jnp.float32,
+    )
+    tokens = jnp.asarray(
+        rng.integers(0, 1000, (B, max_len + K + 1)), jnp.int32
+    )
+    state = {
+        "tokens": tokens,
+        # row 0: cap-finished at the full budget; row 1: mid-decode
+        "lens": jnp.asarray([max_len, max_len - 2], jnp.int32),
+        "caps": jnp.full((B,), max_len, jnp.int32),
+        "finished": jnp.asarray([True, False]),
+        "sum_logprobs": jnp.zeros((B,), jnp.float32),
+        "cache_v": init_cache(pv, DIMS, xa_v, max_len=max_len + K),
+        "cache_d": init_cache(pd, draft.dims, xa_d, max_len=max_len + K),
+    }
+    round_fn = make_spec_round(
+        DIMS, draft.dims, task.filter_cfg, task.tokenizer.eot, K, jnp.float32
+    )
+    out = round_fn(pv, pd, state)
+    # the finished row's real tokens (everything below max_len) intact
+    np.testing.assert_array_equal(
+        np.asarray(out["tokens"][0, :max_len]), np.asarray(tokens[0, :max_len])
+    )
+    assert int(out["lens"][0]) == max_len
 
 
 def test_speculative_with_prompt():

@@ -3,7 +3,7 @@
 # tunnel outage (r3). Probes the chip first; each step is bounded and
 # logged so a short recovery window still captures everything.
 # Usage: bash tools/run_pending_measurements.sh [outdir]
-set -u
+set -u -o pipefail
 OUT=${1:-/tmp/wf_measurements}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
@@ -25,7 +25,7 @@ run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 t=$2; shift 2
   echo "=== $name ($(date +%H:%M:%S)) ==="
   timeout "$t" "$@" 2>&1 | tee "$OUT/$name.log"
-  echo "$name exit=$?" >> "$OUT/status.txt"
+  echo "$name exit=${PIPESTATUS[0]}" >> "$OUT/status.txt"
 }
 
 # 1. driver artifact sanity: the bench with the new int8 legs

@@ -148,7 +148,10 @@ def _make_cb_programs(dims, cfg, eot, max_len, chunk, dtype, no_speech,
     spec = dims_d is not None
     K = draft_len
     cache_len = max_len + (K if spec else 0)
-    buf_w = max_len + (K if spec else 1)
+    # +1 beyond the write window: a cap-finished row's (K+1)-wide
+    # all-EOT write at offset max_len must not clamp back onto its
+    # final real token
+    buf_w = max_len + (K + 1 if spec else 1)
 
     def prep(params):
         return prepare_decode_params(params, dtype, quantize)

@@ -225,7 +225,12 @@ def _make_spec_program(
             logits_v[:, sot_index].astype(jnp.float32), axis=-1
         )[:, no_speech] if no_speech is not None else jnp.full((B,), jnp.nan)
 
-        tokens = jnp.full((B, max_len + K), eot, dtype=jnp.int32)
+        # width max_len+K+1: the round's (K+1)-wide write at offset n can
+        # land at n == max_len for a cap-finished row; the extra column
+        # keeps dynamic_update_slice from clamping the start index back
+        # onto the row's final real token (all clamped-region writes are
+        # EOT into the always-EOT tail)
+        tokens = jnp.full((B, max_len + K + 1), eot, dtype=jnp.int32)
         tokens = jax.lax.dynamic_update_slice(
             tokens, init_tokens.astype(jnp.int32), (0, 0)
         )
