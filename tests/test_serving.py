@@ -59,6 +59,43 @@ def test_continuous_batcher_matches_individual_decodes():
         assert abs(got[i].no_speech_prob - ref.no_speech_prob) < 1e-5
 
 
+def test_continuous_batcher_submit_poll_streaming():
+    """Requests submitted WHILE others are mid-decode still produce
+    results identical to standalone decodes (the server-loop API)."""
+    from whisper_flamingo_tpu.audio import N_SAMPLES, log_mel_spectrogram, pad_or_trim
+    from whisper_flamingo_tpu.decoding import DecodingTask
+    from whisper_flamingo_tpu.serving import ContinuousBatcher
+
+    model = load_model("debug")
+    opts = DecodingOptions(
+        language="en", without_timestamps=True, sample_len=8, fp16=False
+    )
+    rng = np.random.default_rng(21)
+    waves = [rng.standard_normal(16000 * (i % 2 + 1)).astype(np.float32) * 0.2
+             for i in range(6)]
+    cb = ContinuousBatcher(model, options=opts, slots=2, chunk=3)
+
+    ids, got = [], {}
+    arrivals = list(range(len(waves)))
+    # submit two up front, then one more after every poll (mid-flight)
+    ids.append(cb.submit(waves[arrivals.pop(0)]))
+    ids.append(cb.submit(waves[arrivals.pop(0)]))
+    while cb.pending or arrivals:
+        for rid, res in cb.poll():
+            got[rid] = res
+        if arrivals:
+            ids.append(cb.submit(waves[arrivals.pop(0)]))
+    assert sorted(got) == sorted(ids)
+
+    task = DecodingTask(model, opts)
+    for i, w in enumerate(waves):
+        mel = log_mel_spectrogram(
+            np.asarray(pad_or_trim(w, N_SAMPLES))[None], n_mels=model.dims.n_mels
+        )
+        ref = task.run(mel)[0]
+        assert got[ids[i]].tokens == ref.tokens, f"request {i}"
+
+
 def test_continuous_batcher_speculative_slots():
     """Continuous batching composes with speculation: slots advance by
     spec rounds (draft==verifier exercises multi-token acceptance) and

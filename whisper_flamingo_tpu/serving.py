@@ -396,6 +396,77 @@ class ContinuousBatcher:
             self._prep(), jnp.asarray(mel), init, jnp.asarray(cap, jnp.int32), **kw
         )
 
+    # -- incremental serving API -------------------------------------------
+    #
+    # submit() enqueues a request and returns its id; poll() fills idle
+    # slots from the queue, advances every slot by one compiled chunk,
+    # and returns whatever finished. A server loop interleaves arbitrary
+    # submit/poll calls; transcribe_segments() below is the batch wrapper.
+
+    def _ensure_state(self):
+        if getattr(self, "_state", None) is None:
+            self._state = self._programs["empty_state"](self.slots)
+            self._slot_req = [-1] * self.slots  # request id per slot
+            self._queue: list = []
+            self._next_id = 0
+
+    def submit(self, wave, max_tokens: Optional[int] = None) -> int:
+        """Enqueue one <=30 s waveform; returns a request id."""
+        self._ensure_state()
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append((rid, wave, max_tokens))
+        return rid
+
+    @property
+    def pending(self) -> int:
+        self._ensure_state()
+        return len(self._queue) + sum(r >= 0 for r in self._slot_req)
+
+    def _fill_idle_slots(self):
+        for s in range(self.slots):
+            if self._slot_req[s] >= 0 or not self._queue:
+                continue
+            rid, wave, cap = self._queue.pop(0)
+            self._state = self._programs["splice"](
+                self._state, self._prefill_one(wave, cap), s
+            )
+            self._slot_req[s] = rid
+
+    def poll(self) -> List[tuple]:
+        """Advance all slots one chunk; returns [(request_id, result)]
+        for requests that finished. Empty list while work remains in
+        flight; call again (or see :meth:`pending`)."""
+        import jax
+
+        self._ensure_state()
+        self._fill_idle_slots()
+        if all(r < 0 for r in self._slot_req):
+            return []
+        if self.draft_model is not None:
+            self._state = self._programs["step"](
+                self._prep(), self._state, params_d=self._prepped_d
+            )
+        else:
+            self._state = self._programs["step"](self._prep(), self._state)
+        finished = np.asarray(jax.device_get(self._state["finished"]))
+        done = []
+        for s in range(self.slots):
+            rid = self._slot_req[s]
+            if rid < 0 or not finished[s]:
+                continue
+            row = jax.device_get(
+                jax.tree.map(lambda a: a[s], {
+                    "tokens": self._state["tokens"],
+                    "sum_logprobs": self._state["sum_logprobs"],
+                    "no_speech_probs": self._state["no_speech_probs"],
+                })
+            )
+            done.append((rid, self._finalize_row(row)))
+            self._slot_req[s] = -1
+        self._fill_idle_slots()
+        return done
+
     def transcribe_segments(
         self, waveforms: Sequence[np.ndarray],
         max_tokens: Optional[Sequence[int]] = None,
@@ -405,62 +476,17 @@ class ContinuousBatcher:
         request's generated tokens (serving APIs expose per-request
         output budgets; also the honest way to benchmark variable-length
         traffic with random-init weights)."""
-        import jax
-
-        n = len(waveforms)
-        if n == 0:
+        if not waveforms:
             return []
-        queue = list(range(n))
-        results: List[Optional[DecodingResult]] = [None] * n
-        slot_req = [-1] * self.slots  # request index per slot (-1 = idle)
-
-        state = self._programs["empty_state"](self.slots)
-        for s in range(self.slots):
-            if not queue:
-                break
-            req = queue.pop(0)
-            state = self._programs["splice"](
-                state,
-                self._prefill_one(
-                    waveforms[req], max_tokens[req] if max_tokens else None
-                ),
-                s,
-            )
-            slot_req[s] = req
-
-        while any(r >= 0 for r in slot_req):
-            if self.draft_model is not None:
-                state = self._programs["step"](
-                    self._prep(), state, params_d=self._prepped_d
-                )
-            else:
-                state = self._programs["step"](self._prep(), state)
-            finished = np.asarray(jax.device_get(state["finished"]))
-            for s in range(self.slots):
-                req = slot_req[s]
-                if req < 0 or not finished[s]:
-                    continue
-                row = jax.device_get(
-                    jax.tree.map(lambda a: a[s], {
-                        "tokens": state["tokens"],
-                        "sum_logprobs": state["sum_logprobs"],
-                        "no_speech_probs": state["no_speech_probs"],
-                    })
-                )
-                results[req] = self._finalize_row(row)
-                if queue:
-                    nxt = queue.pop(0)
-                    state = self._programs["splice"](
-                        state,
-                        self._prefill_one(
-                            waveforms[nxt], max_tokens[nxt] if max_tokens else None
-                        ),
-                        s,
-                    )
-                    slot_req[s] = nxt
-                else:
-                    slot_req[s] = -1
-        return results  # type: ignore[return-value]
+        ids = [
+            self.submit(w, max_tokens[i] if max_tokens else None)
+            for i, w in enumerate(waveforms)
+        ]
+        by_id = {}
+        while self.pending:
+            for rid, res in self.poll():
+                by_id[rid] = res
+        return [by_id[rid] for rid in ids]
 
     def _finalize_row(self, row) -> DecodingResult:
         tokenizer = self._task.tokenizer
