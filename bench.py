@@ -145,6 +145,33 @@ def main() -> None:
     except Exception:
         pass
 
+    # backend-init watchdog: the axon tunnel can wedge (backend init then
+    # blocks forever in a retry sleep — CLAUDE.md). Emit a diagnostic
+    # line and exit instead of hanging until the driver gives up with no
+    # artifact at all. Generous default: a healthy cold init is seconds.
+    import threading
+
+    init_ok = threading.Event()
+    init_timeout = float(os.environ.get("WF_BENCH_INIT_TIMEOUT_S", "600"))
+
+    def _init_watchdog():
+        if not init_ok.wait(init_timeout):
+            print(
+                json.dumps({
+                    "metric": "bench_error",
+                    "value": 0.0,
+                    "unit": "none",
+                    "error": f"device backend init exceeded {init_timeout:.0f}s "
+                             "(TPU tunnel unreachable?)",
+                }),
+                flush=True,
+            )
+            os._exit(2)
+
+    threading.Thread(target=_init_watchdog, daemon=True).start()
+    _ = float(np.asarray(jax.numpy.ones(()) + 1))  # forces backend init
+    init_ok.set()
+
     from whisper_flamingo_tpu.audio import log_mel_spectrogram
     from whisper_flamingo_tpu.models.dims import MODEL_DIMS
     from whisper_flamingo_tpu.models.whisper import Whisper, init_params
