@@ -49,12 +49,14 @@ NEG_INF = float("-inf")
 # so the row sum rides the weights·V dot — the MXU pads the 64-wide
 # output to 128 lanes anyway, so the column is architecturally free and
 # one of the forward's three full-row VPU passes disappears. o and l are
-# then computed from the SAME bf16 weights (the shipped "vpu" path mixes
+# then computed from the SAME bf16 weights (the "vpu" path mixes
 # f32 l with a bf16-weights o, so "mxu" is the more self-consistent of
 # the two). Module-level so tools/flash64_fwd_probe.py and the A/B can
-# flip it; the default is set by the on-chip measurement
-# (docs/performance.md).
-FWD_SUM = "vpu"
+# flip it. On-chip A/B (r3, docs/performance.md): mxu 1.017 ms/op vs
+# vpu 1.188 ms/op at (96, 1500, 64) — shipped default. A third variant
+# (Cauchy-Schwarz bounded shift, kills the row-max pass too) measured
+# 1.112 ms/op — slower than mxu alone, refuted.
+FWD_SUM = "mxu"
 _AUG = 8  # lane-padding-free width added to V for the ones column
 
 
