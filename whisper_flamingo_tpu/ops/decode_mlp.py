@@ -17,9 +17,13 @@ Pallas double-buffering the next tile's weight DMA against the current
 tile's compute. Every weight byte is read exactly once per call, with no
 inter-op drain.
 
-The kernel is numerically equivalent to ``mlp_block`` (same erf GELU;
-f32 accumulation throughout, so if anything it rounds *less* than the
-unfused bf16 chain). An int8 variant takes the per-output-channel
+The kernel is numerically equivalent to ``mlp_block`` up to a <=1.5e-7
+erf approximation (Pallas TPU has no erf/erfc lowering — found on-chip,
+the interpreter accepts them — so the exact GELU is computed with the
+Abramowitz-Stegun 7.1.26 polynomial in f32: error two decades below the
+f32 chain's own rounding, three below bf16); f32 accumulation
+throughout, so if anything it rounds *less* than the unfused bf16
+chain. An int8 variant takes the per-output-channel
 quantized weights of the serving mode (`ops/quant.py`): fc1's scales are
 applied before the GELU (the nonlinearity needs real values), fc2's fold
 into the final output. No reference equivalent (the reference's decode
@@ -47,6 +51,22 @@ TILE_F = 512  # ffn-axis tile: 6 grid steps at small (3072), 10 at large-v2
 ENABLED = False
 
 
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 erf, |abs err| <= 1.5e-7 (f32-exact for
+    this kernel's purposes). Pallas TPU lowers exp but not erf/erfc."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu_exactish(h):
+    return 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+
+
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, *rest):
     *maybe_scale, o_ref = rest  # input refs precede the output ref
     i = pl.program_id(0)
@@ -57,7 +77,7 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, *rest):
     if maybe_scale:  # int8: dequant before the nonlinearity
         h = h * maybe_scale[0][...]
     h = h + b1_ref[...].astype(jnp.float32)
-    a = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    a = _gelu_exactish(h).astype(x.dtype)
     part = jnp.dot(
         a, w2_ref[...].astype(x.dtype), preferred_element_type=jnp.float32
     )
