@@ -96,6 +96,40 @@ def test_continuous_batcher_submit_poll_streaming():
         assert got[ids[i]].tokens == ref.tokens, f"request {i}"
 
 
+def test_continuous_batcher_pipelined_and_mel_submit():
+    """pipeline=True (harvest lags one chunk, device fetch hidden behind
+    compute) and precomputed-mel submission both stay token-identical to
+    standalone decodes, including mixed wave+mel traffic."""
+    from whisper_flamingo_tpu.audio import N_SAMPLES, log_mel_spectrogram, pad_or_trim
+    from whisper_flamingo_tpu.decoding import DecodingTask
+    from whisper_flamingo_tpu.serving import ContinuousBatcher
+
+    model = load_model("debug")
+    opts = DecodingOptions(
+        language="en", without_timestamps=True, sample_len=10, fp16=False
+    )
+    rng = np.random.default_rng(11)
+    waves = [rng.standard_normal(16000 * (i % 3 + 1)).astype(np.float32) * 0.2
+             for i in range(7)]
+    mels = [
+        np.asarray(log_mel_spectrogram(
+            np.asarray(pad_or_trim(w, N_SAMPLES))[None], n_mels=model.dims.n_mels
+        ))[0]
+        for w in waves
+    ]
+    # mixed traffic: even requests as waves, odd as precomputed mels
+    reqs = [w if i % 2 == 0 else mels[i] for i, w in enumerate(waves)]
+
+    cb = ContinuousBatcher(model, options=opts, slots=3, chunk=4, pipeline=True)
+    got = cb.transcribe_segments(reqs)
+
+    task = DecodingTask(model, opts)
+    for i in range(len(waves)):
+        ref = task.run(mels[i][None])[0]
+        assert got[i].tokens == ref.tokens, f"request {i}"
+        assert abs(got[i].avg_logprob - ref.avg_logprob) < 1e-3
+
+
 def test_continuous_batcher_speculative_slots():
     """Continuous batching composes with speculation: slots advance by
     spec rounds (draft==verifier exercises multi-token acceptance) and
