@@ -103,45 +103,53 @@ def main():
     print(f"encoder share         {enc * 1000:8.2f} ms")
 
     # -- ablations (features path, greedy len=64) --------------------------
-    orig_qkv = W.qkv_attention
+    # NOTE the cached decode loop reads the audio K/V through the
+    # TRANSPOSED-slab path (xa_qkv_attention) since the r2 cache-layout
+    # work — ablating W.qkv_attention (the r2 version of this probe) is
+    # a no-op for this program and reads as "xa is free", which is wrong.
+    orig_xa = W.xa_qkv_attention
+    orig_self = W.cached_qkv_attention
     orig_mlp = W.mlp_block
 
-    def no_xa_qkv(q, k, v, n_head, mask=None, backend="xla", return_qk=False):
-        if k.shape[1] == dims.n_audio_ctx and mask is None and not return_qk:
-            return jnp.zeros_like(q)  # audio cross-attn: skip the K/V read
-        return orig_qkv(q, k, v, n_head, mask=mask, backend=backend,
-                        return_qk=return_qk)
+    def no_xa(q, kT, vT, n_head, k_scale=None, v_scale=None):
+        return jnp.zeros_like(q)  # skip the slab read entirely
 
-    try:
-        W.qkv_attention = no_xa_qkv
-        D._make_decode_program.cache_clear()
-        report("feats greedy len=64 [no xa read]", timed(make_task(64), feats))
-    finally:
-        W.qkv_attention = orig_qkv
+    def no_self(q, k, v, n_head, mask=None):
+        return jnp.zeros_like(q)  # skip self-cache read+update use
 
-    try:
-        W.mlp_block = lambda p, x: x
-        D._make_decode_program.cache_clear()
-        report("feats greedy len=64 [no mlp]", timed(make_task(64), feats))
-    finally:
-        W.mlp_block = orig_mlp
-
-    try:
-        W.qkv_attention = no_xa_qkv
-        W.mlp_block = lambda p, x: x
-        D._make_decode_program.cache_clear()
-        report("feats greedy len=64 [no xa, no mlp]", timed(make_task(64), feats))
-    finally:
-        W.qkv_attention = orig_qkv
-        W.mlp_block = orig_mlp
+    ablations = [
+        ("no xa read", {"xa_qkv_attention": no_xa}),
+        ("no self attn", {"cached_qkv_attention": no_self}),
+        ("no mlp", {"mlp_block": lambda p, x: x}),
+        ("no xa, no mlp", {"xa_qkv_attention": no_xa,
+                           "mlp_block": lambda p, x: x}),
+        ("no xa, self, mlp", {"xa_qkv_attention": no_xa,
+                              "cached_qkv_attention": no_self,
+                              "mlp_block": lambda p, x: x}),
+    ]
+    originals = {"xa_qkv_attention": orig_xa,
+                 "cached_qkv_attention": orig_self,
+                 "mlp_block": orig_mlp}
+    for name, patches in ablations:
+        try:
+            for attr, fn in patches.items():
+                setattr(W, attr, fn)
+            D._make_decode_program.cache_clear()
+            report(f"feats greedy len=64 [{name}]", timed(make_task(64), feats))
+        finally:
+            for attr in patches:
+                setattr(W, attr, originals[attr])
     D._make_decode_program.cache_clear()
 
-    xa_cost = (results["feats greedy len=64"]
-               - results["feats greedy len=64 [no xa read]"]) / 64
-    mlp_cost = (results["feats greedy len=64"]
-                - results["feats greedy len=64 [no mlp]"]) / 64
-    print(f"\nxa-read share/step    {xa_cost * 1000:8.2f} ms  (roofline ~0.54)")
-    print(f"mlp share/step        {mlp_cost * 1000:8.2f} ms  (roofline ~0.14)")
+    base = results["feats greedy len=64"]
+    for name, roof in [("no xa read", 0.54), ("no self attn", None),
+                       ("no mlp", 0.14)]:
+        cost = (base - results[f"feats greedy len=64 [{name}]"]) / 64
+        tag = f"(roofline ~{roof})" if roof else ""
+        print(f"{name:20s} share/step {cost * 1000:8.2f} ms  {tag}")
+    rest = results["feats greedy len=64 [no xa, self, mlp]"] / 64
+    print(f"{'residual (LNs, projections, lm head, filters, loop)':20s}"
+          f" {rest * 1000:8.2f} ms/step at len=64")
 
 
 if __name__ == "__main__":
