@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import decode_mlp
+from ..ops import decode_attn, decode_mlp
 from ..ops.attention import (
     cached_causal_mask,
     cached_qkv_attention,
@@ -458,7 +458,11 @@ def init_cache(
     B = audio_features.shape[0]
     D = dims.n_text_state
     H = dims.n_text_head
-    T = max_len or dims.n_text_ctx
+    # pad the self-cache time axis to a sublane multiple: the fused
+    # decode-attention kernel's 8-row write window needs it
+    # (ops/decode_attn.dispatch); the extra rows sit beyond every
+    # causal mask, so they are never attended
+    T = -(-(max_len or dims.n_text_ctx) // 8) * 8
     scale = (D // H) ** -0.25
     xa = audio_features.astype(dtype)
 
@@ -638,13 +642,23 @@ def decoder_apply(
                 q = linear(ap["q"], x_ln)
                 k_raw = linear(ap["k"], x_ln)
                 v_raw = linear(ap["v"], x_ln)
-            # write the new token's K/V unsplit (B, T, D), K pre-scaled —
-            # the slab layout cached_qkv_attention consumes
-            k_l = update_cache(k_l, k_raw * scale, offset)
-            v_l = update_cache(v_l, v_raw, offset)
-            x = x + linear(
-                ap["out"], cached_qkv_attention(q, k_l, v_l, n_head, mask=mask)
-            )
+            if decode_attn.dispatch(T, cache_len, tokens.shape[0]):
+                # fused cache-write + attend Pallas kernel
+                # (ops/decode_attn.py): one program replaces the ~8-op
+                # per-layer chain whose cost is dispatch latency, not bytes
+                attn, k_l, v_l = decode_attn.fused_step(
+                    q, k_raw, v_raw, k_l, v_l, offset, n_head
+                )
+                x = x + linear(ap["out"], attn)
+            else:
+                # write the new token's K/V unsplit (B, T, D), K pre-scaled
+                # — the slab layout cached_qkv_attention consumes
+                k_l = update_cache(k_l, k_raw * scale, offset)
+                v_l = update_cache(v_l, v_raw, offset)
+                x = x + linear(
+                    ap["out"],
+                    cached_qkv_attention(q, k_l, v_l, n_head, mask=mask),
+                )
             x = x + attention_block(
                 bp["cross_attn"], layer_norm(bp["cross_attn_ln"], x), n_head,
                 k_override=xa_k_l, v_override=xa_v_l,

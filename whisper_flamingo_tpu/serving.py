@@ -151,7 +151,9 @@ def _make_cb_programs(dims, cfg, eot, max_len, chunk, dtype, no_speech,
 
     spec = dims_d is not None
     K = draft_len
-    cache_len = max_len + (K if spec else 0)
+    # sublane-rounded like init_cache (the _cache_zeros slabs must match
+    # the shapes the prefill's init_cache produces for splice)
+    cache_len = -(-(max_len + (K if spec else 0)) // 8) * 8
     # +1 beyond the write window: a cap-finished row's (K+1)-wide
     # all-EOT write at offset max_len must not clamp back onto its
     # final real token
