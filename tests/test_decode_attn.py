@@ -75,6 +75,57 @@ def test_fused_step_per_row_offsets():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_fused_step_multi_row_lockstep(monkeypatch):
+    """rows > MAX_ROWS with a scalar offset route through the m-rows-per-
+    grid-step lockstep kernel and match the XLA chain bit-for-bit.
+    (The lockstep path is default-off — measured slower than the XLA
+    chain at beam-15 x b8; this pins the kernel's correctness.)"""
+    monkeypatch.setattr(decode_attn, "MULTI_ENABLED", True)
+    rng = np.random.default_rng(3)
+    b, t_max, d, n_head = 40, 24, 128, 2  # b > MAX_ROWS, 8 | b
+    assert b > decode_attn.MAX_ROWS
+    assert decode_attn._pick_multi(b, t_max, d, 4) == 8
+    q, k_raw, v_raw = (
+        jnp.asarray(rng.standard_normal((b, 1, d)), jnp.float32)
+        for _ in range(3)
+    )
+    k_cache = jnp.asarray(rng.standard_normal((b, t_max, d)), jnp.float32)
+    v_cache = jnp.asarray(rng.standard_normal((b, t_max, d)), jnp.float32)
+    for offset in (0, 7, t_max - 1):
+        ref, rk, rv = _chain(q, k_raw, v_raw, k_cache, v_cache, offset, n_head)
+        got, gk, gv = decode_attn.fused_step(
+            q, k_raw, v_raw, k_cache, v_cache, jnp.int32(offset), n_head
+        )
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+        # per-row kernel agreement (bit-identical math, different grid)
+        per_row, _, _ = decode_attn._call(
+            q, k_raw, v_raw, k_cache, v_cache,
+            jnp.full((b,), offset, jnp.int32), n_head,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(per_row))
+
+
+def test_multi_row_vmem_gate(monkeypatch):
+    """_pick_multi degrades m (and eventually refuses) as the per-step
+    block footprint grows; dispatch follows it."""
+    monkeypatch.setattr(decode_attn, "MULTI_ENABLED", True)
+    # small cache: full 16-row packing
+    assert decode_attn._pick_multi(128, 48, 768, 2) == 16
+    # small-model beam-15 x b8 at the bench cache length: 8-row packing
+    assert decode_attn._pick_multi(120, 72, 768, 2) == 8
+    # large-v2-shaped beam-15 x b8 (d=1280): blocks shrink to 4 rows
+    assert decode_attn._pick_multi(120, 72, 1280, 2) == 4
+    # very long cache at large d: no m fits
+    assert decode_attn._pick_multi(120, 8192, 1280, 2) == 0
+    assert not decode_attn.dispatch(
+        1, 8192, 120, lockstep=True, d=1280, itemsize=2
+    )
+    # odd row counts cannot pack
+    assert decode_attn._pick_multi(45, 72, 768, 2) == 0
+
+
 def test_decode_loop_with_fused_attn_token_parity(monkeypatch):
     """Flag on vs off: the decode loop produces identical tokens at f32."""
     from whisper_flamingo_tpu import decoding

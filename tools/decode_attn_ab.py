@@ -6,8 +6,9 @@ decode surface with bench.py's honesty guard (EOT suppressed, full token
 budget). Covers greedy bf16 + int8 (the self cache stays bf16 in int8
 serving mode, so the kernel dispatches there too) and beam-15.
 
-Usage:  python tools/decode_attn_ab.py [model] [iters]
-        # defaults: small 12
+Usage:  python tools/decode_attn_ab.py [model] [iters] [legs]
+        # defaults: small 12 greedy,int8,beam15
+        # legs filters which measurements run (comma-separated substrings)
 """
 
 import os
@@ -83,6 +84,9 @@ def main():
         ("greedy int8", dict(quantize="int8")),
         ("beam15 bf16", dict(beam_size=15, )),
     ]
+    if len(sys.argv) > 3:
+        wanted = sys.argv[3].split(",")
+        legs = [(t, kw) for t, kw in legs if any(w in t for w in wanted)]
     for tag, kw in legs:
         base1 = measure(False, **kw)
         fused = measure(True, **kw)

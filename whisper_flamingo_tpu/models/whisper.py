@@ -642,7 +642,11 @@ def decoder_apply(
                 q = linear(ap["q"], x_ln)
                 k_raw = linear(ap["k"], x_ln)
                 v_raw = linear(ap["v"], x_ln)
-            if decode_attn.dispatch(T, cache_len, tokens.shape[0]):
+            if decode_attn.dispatch(
+                T, cache_len, tokens.shape[0],
+                lockstep=getattr(offset, "ndim", 0) == 0,
+                d=dims.n_text_state, itemsize=k_l.dtype.itemsize,
+            ):
                 # fused cache-write + attend Pallas kernel
                 # (ops/decode_attn.py): one program replaces the ~8-op
                 # per-layer chain whose cost is dispatch latency, not bytes

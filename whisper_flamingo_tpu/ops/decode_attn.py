@@ -71,23 +71,71 @@ FORCE_CPU = False
 
 
 # Measured crossover (tools/decode_attn_ab.py, docs/performance.md): at
-# b8 greedy (8 rows) the kernel wins ~1.30x; at beam-15 x b8 (120 rows)
-# it loses 0.89x — with many rows the XLA chain's batched einsums are no
-# longer latency-dominated, while the kernel pays 120 sequential grid
-# steps. Dispatch only below this row count.
+# b8 greedy (8 rows) the per-row kernel wins ~1.30x; at beam-15 x b8
+# (120 rows) it loses 0.89x — with many rows the XLA chain's batched
+# einsums are no longer latency-dominated, while the kernel pays 120
+# sequential grid steps. The per-row grid dispatches only below this
+# row count.
 MAX_ROWS = 32
+# Lockstep path (scalar offset — greedy/beam decode loops, where every
+# row writes the same cache position): rows pack ``m`` per grid step,
+# cutting both the sequential-step count and the per-block DMA overhead
+# m-fold. Measured (tools/decode_attn_ab.py small 8 beam15, on-chip):
+# it moves beam-15 x b8 from the per-row grid's 0.89x to 0.93x vs the
+# XLA chain — and m=12 (10 grid steps) ties m=8 (15 steps) at 0.927x,
+# so the residual loss is not step count but the chain's batched-einsum
+# throughput + XLA's cross-op pipelining at 120 rows. Default OFF;
+# kept in-tree as the measured evidence (same policy as ops/decode_mlp).
+MULTI_ENABLED = False
+MAX_ROWS_LOCKSTEP = 256
+# Per-grid-step VMEM budget for the multi-row blocks. Peak live set is
+# roughly the double-buffered K+V input blocks (4*m*T*d*itemsize), the
+# spliced ku/vu copies (2*m*T*d*itemsize) and ~2 live f32 (m*T, d)
+# temps (8*m*T*d) — i.e. ~(6*itemsize + 8) bytes per cache element —
+# against the chip's ~16 MB of VMEM.
+_MULTI_VMEM_BYTES = 12 * 2 ** 20
 
 
-def dispatch(q_len: int, cache_len: int, rows: int) -> bool:
+def _pick_multi(rows: int, cache_len: int, d: int, itemsize: int) -> int:
+    """Largest rows-per-grid-step that divides ``rows`` and fits VMEM
+    (0 if none does)."""
+    import os
+
+    forced = os.environ.get("WF_DECODE_ATTN_M")  # probe/A-B override
+    if forced:
+        m = int(forced)
+        return m if rows % m == 0 else 0
+    if not MULTI_ENABLED:
+        return 0
+    for m in (16, 8, 4, 2):
+        if rows % m == 0 and (
+            m * cache_len * d * (6 * itemsize + 8) <= _MULTI_VMEM_BYTES
+        ):
+            return m
+    return 0
+
+
+def dispatch(
+    q_len: int, cache_len: int, rows: int,
+    lockstep: bool = False, d: int | None = None, itemsize: int = 2,
+) -> bool:
     """Trace-time predicate: route the decode loop's self-attention step
     through the fused kernel? Incremental steps only (prefill and
     speculative verification chunks keep the XLA chain), the cache time
     axis must be a sublane multiple (TPU block-shape rule for the 8-row
     write window; ``models.whisper.init_cache`` pads to this), and few
-    enough batch rows that per-op latency, not throughput, dominates."""
-    return ENABLED and q_len == 1 and cache_len % 8 == 0 and (
-        rows <= MAX_ROWS
-    ) and (FORCE_CPU or jax.default_backend() != "cpu")
+    enough batch rows that per-op latency, not throughput, dominates —
+    or, when ``lockstep`` (scalar write offset) lets rows pack per grid
+    step, up to ``MAX_ROWS_LOCKSTEP`` rows."""
+    if not (ENABLED and q_len == 1 and cache_len % 8 == 0
+            and (FORCE_CPU or jax.default_backend() != "cpu")):
+        return False
+    if rows <= MAX_ROWS:
+        return True
+    return (
+        lockstep and rows <= MAX_ROWS_LOCKSTEP
+        and d is not None and _pick_multi(rows, cache_len, d, itemsize) > 0
+    )
 
 
 def _kernel(off_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
@@ -148,6 +196,99 @@ def _kernel(off_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _kernel_multi(off_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
+                  o_ref, krow_ref, vrow_ref, *, n_head: int):
+    """Lockstep variant: one grid step attends ``m`` batch rows that all
+    share the scalar write offset (greedy/beam decode loops). Same math
+    as ``_kernel`` row-for-row — the big dots flatten (m, T, D) to
+    (m*T, D) so each output element is the identical D-length
+    contraction, and the softmax reduces over the sublane (T) axis of
+    the (m, T, H) view — so results are bit-identical to the per-row
+    grid."""
+    off = off_ref[0]
+    m, t_max, d = kc_ref.shape
+    d_head = d // n_head
+    scale = float(d_head) ** -0.25
+
+    cdtype = kc_ref.dtype
+    trow = jax.lax.broadcasted_iota(jnp.int32, (m, t_max, 1), 1)
+    is_new = trow == off  # (m, T, 1), shared offset
+
+    kn = (kn_ref[:, 0, :] * scale).astype(cdtype)  # (m, D)
+    vn = vn_ref[:, 0, :].astype(cdtype)
+    ku = jnp.where(is_new, kn[:, None, :], kc_ref[...])  # (m, T, D)
+    vu = jnp.where(is_new, vn[:, None, :], vc_ref[...])
+
+    # 8-row aligned write window, shared across the m rows (see _kernel
+    # for why the window re-loads from the input ref and splices)
+    aligned = (off // 8) * 8
+    wrow = jax.lax.broadcasted_iota(jnp.int32, (m, 8, 1), 1)
+    sel_new = wrow == (off - aligned)
+    kwin = kc_ref[:, pl.dslice(aligned, 8), :]  # (m, 8, D) stale windows
+    vwin = vc_ref[:, pl.dslice(aligned, 8), :]
+    krow_ref[...] = jnp.where(sel_new, kn[:, None, :], kwin)
+    vrow_ref[...] = jnp.where(sel_new, vn[:, None, :], vwin)
+
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 0)
+    h_idx = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 1)
+    sel = (d_idx // d_head == h_idx).astype(jnp.float32)
+
+    q = q_ref[:, 0, :].astype(jnp.float32) * scale  # (m, D)
+    prod = ku.astype(jnp.float32) * q[:, None, :]  # (m, T, D) f32 products
+    logits = jax.lax.dot(
+        prod.reshape(m * t_max, d), sel,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(m, t_max, n_head)
+    valid = trow <= off  # causal mask over the cache prefix
+    logits = jnp.where(valid, logits, -jnp.inf)  # (m, T, H)
+
+    mx = jnp.max(logits, axis=1, keepdims=True)  # row `off` always valid
+    w = jnp.exp(logits - mx)
+    w = w / jnp.sum(w, axis=1, keepdims=True)  # (m, T, H) fp32
+
+    wl = jax.lax.dot(
+        w.reshape(m * t_max, n_head), sel.T,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(m, t_max, d)
+    wl = wl.astype(o_ref.dtype).astype(jnp.float32)  # compute-dtype weights
+    out = jnp.sum(wl * vu.astype(jnp.float32), axis=1, keepdims=True)
+    o_ref[...] = out.astype(o_ref.dtype)  # (m, 1, D)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "m"))
+def _call_multi(q, k_new, v_new, k_cache, v_cache, offsets, n_head, m):
+    b, t_max, d = k_cache.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // m,),
+        in_specs=[
+            pl.BlockSpec((m, 1, d), lambda i, off: (i, 0, 0)),
+            pl.BlockSpec((m, 1, d), lambda i, off: (i, 0, 0)),
+            pl.BlockSpec((m, 1, d), lambda i, off: (i, 0, 0)),
+            pl.BlockSpec((m, t_max, d), lambda i, off: (i, 0, 0)),
+            pl.BlockSpec((m, t_max, d), lambda i, off: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((m, 1, d), lambda i, off: (i, 0, 0)),
+            # cache outputs: one (m, 8, D) row-window block at the shared
+            # write offset's aligned window; aliased to the input slabs
+            pl.BlockSpec((m, 8, d), lambda i, off: (i, off[0] // 8, 0)),
+            pl.BlockSpec((m, 8, d), lambda i, off: (i, off[0] // 8, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_multi, n_head=n_head),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, d), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        input_output_aliases={4: 1, 5: 2},  # cache slabs update in place
+        interpret=jax.default_backend() == "cpu",
+    )(offsets, q, k_new, v_new, k_cache, v_cache)
+
+
 @functools.partial(jax.jit, static_argnames=("n_head",))
 def _call(q, k_new, v_new, k_cache, v_cache, offsets, n_head):
     b, t_max, d = k_cache.shape
@@ -201,8 +342,16 @@ def fused_step(q, k_raw, v_raw, k_cache, v_cache, offset, n_head):
             "fused_step needs a sublane-multiple cache length "
             f"(got {k_cache.shape[-2]}); init_cache pads to 8"
         )
-    if getattr(offset, "ndim", 0) == 1:
-        offsets = offset.astype(jnp.int32)
-    else:
+    lockstep = getattr(offset, "ndim", 0) == 0
+    if lockstep and b > MAX_ROWS:
+        m = _pick_multi(b, k_cache.shape[-2], d, k_cache.dtype.itemsize)
+        if m:
+            offsets = jnp.full((1,), offset, jnp.int32)
+            return _call_multi(
+                q, k_raw, v_raw, k_cache, v_cache, offsets, n_head, m
+            )
+    if lockstep:
         offsets = jnp.full((b,), offset, jnp.int32)
+    else:
+        offsets = offset.astype(jnp.int32)
     return _call(q, k_raw, v_raw, k_cache, v_cache, offsets, n_head)
