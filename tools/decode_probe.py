@@ -16,7 +16,14 @@ This tool measures (a) the per-step slope via two sample_len points,
 the block functions and rebuilding the compiled program, to localize any
 gap between the slope and the roofline.
 
-Usage: python tools/decode_probe.py [model] [batch] [iters]
+Usage: python tools/decode_probe.py [model] [batch] [iters] [beam_G]
+
+With a 4th arg (beam width G) the probe decomposes the BEAM step
+instead: the shared ablations plus beam-specific ones — the physical
+self-cache reorder (`decoding._reorder_beam_cache` -> identity), the
+top-k shortlist (`decoding._beam_topk` -> slice), and the logit-filter
+stack (`decoding._apply_filters` -> EOT-suppress only, which keeps the
+loop running its full budget so ablated runs stay comparable).
 """
 
 import os
@@ -45,6 +52,7 @@ def main():
     model_name = sys.argv[1] if len(sys.argv) > 1 else "small"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    beam = int(sys.argv[4]) if len(sys.argv) > 4 else None
 
     dims = MODEL_DIMS[model_name]
     params = jax.jit(lambda k: init_params(k, dims))(jax.random.PRNGKey(0))
@@ -85,22 +93,27 @@ def main():
         return (time.perf_counter() - t0) / n
 
     results = {}
+    mode = f"beam{beam}" if beam else "greedy"
 
     def report(name, t):
         results[name] = t
-        print(f"{name:44s} {t * 1000:8.1f} ms")
+        print(f"{name:44s} {t * 1000:8.1f} ms", flush=True)
 
+    if not beam:
+        for L in (16, 64):
+            report(f"mel {mode} len={L}", timed(make_task(L), mel))
     for L in (16, 64):
-        report(f"mel greedy len={L}", timed(make_task(L), mel))
-    for L in (16, 64):
-        report(f"feats greedy len={L}", timed(make_task(L), feats))
+        report(f"feats {mode} len={L}", timed(make_task(L, beam), feats))
 
-    slope = (results["feats greedy len=64"] - results["feats greedy len=16"]) / 48
-    fixed = results["feats greedy len=16"] - 16 * slope
-    enc = results["mel greedy len=64"] - results["feats greedy len=64"]
+    slope = (
+        results[f"feats {mode} len=64"] - results[f"feats {mode} len=16"]
+    ) / 48
+    fixed = results[f"feats {mode} len=16"] - 16 * slope
     print(f"\nper-step slope        {slope * 1000:8.2f} ms")
     print(f"prefill+host fixed    {fixed * 1000:8.2f} ms")
-    print(f"encoder share         {enc * 1000:8.2f} ms")
+    if not beam:
+        enc = results["mel greedy len=64"] - results["feats greedy len=64"]
+        print(f"encoder share         {enc * 1000:8.2f} ms")
 
     # -- ablations (features path, greedy len=64) --------------------------
     # NOTE the cached decode loop reads the audio K/V through the
@@ -118,38 +131,79 @@ def main():
         return jnp.zeros_like(q)  # skip self-cache read+update use
 
     ablations = [
-        ("no xa read", {"xa_qkv_attention": no_xa}),
-        ("no self attn", {"cached_qkv_attention": no_self}),
-        ("no mlp", {"mlp_block": lambda p, x: x}),
-        ("no xa, no mlp", {"xa_qkv_attention": no_xa,
-                           "mlp_block": lambda p, x: x}),
-        ("no xa, self, mlp", {"xa_qkv_attention": no_xa,
-                              "cached_qkv_attention": no_self,
-                              "mlp_block": lambda p, x: x}),
+        ("no xa read", {W: {"xa_qkv_attention": no_xa}}),
+        ("no self attn", {W: {"cached_qkv_attention": no_self}}),
+        ("no mlp", {W: {"mlp_block": lambda p, x: x}}),
     ]
-    originals = {"xa_qkv_attention": orig_xa,
-                 "cached_qkv_attention": orig_self,
-                 "mlp_block": orig_mlp}
-    for name, patches in ablations:
+    if beam:
+        # EOT-suppress-only filter: removes the filter stack's cost but
+        # keeps the loop running its full token budget (comparable runs)
+        def eot_only(cfg, logits, tokens, cur_len):
+            v = logits.shape[-1]
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, v), 1)
+            return jnp.where(col == eot, -jnp.inf, logits)
+
+        def fake_topk(logprobs, k):
+            # token ids 0..k-1 (never EOT): selection cost without top_k
+            idx = jnp.broadcast_to(
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (1, k), 1
+                ), (logprobs.shape[0], k),
+            )
+            return logprobs[:, :k], idx
+
+        ablations += [
+            ("no cache reorder",
+             {D: {"_reorder_beam_cache": lambda cache, src: cache}}),
+            ("no top_k", {D: {"_beam_topk": fake_topk}}),
+            ("no filters", {D: {"_apply_filters": eot_only}}),
+        ]
+    else:
+        ablations += [
+            ("no xa, no mlp", {W: {"xa_qkv_attention": no_xa,
+                                   "mlp_block": lambda p, x: x}}),
+            ("no xa, self, mlp", {W: {"xa_qkv_attention": no_xa,
+                                      "cached_qkv_attention": no_self,
+                                      "mlp_block": lambda p, x: x}}),
+        ]
+    originals = {
+        W: {"xa_qkv_attention": orig_xa,
+            "cached_qkv_attention": orig_self,
+            "mlp_block": orig_mlp},
+        D: {"_reorder_beam_cache": D._reorder_beam_cache,
+            "_beam_topk": D._beam_topk,
+            "_apply_filters": D._apply_filters},
+    }
+    for name, mod_patches in ablations:
         try:
-            for attr, fn in patches.items():
-                setattr(W, attr, fn)
+            for mod, patches in mod_patches.items():
+                for attr, fn in patches.items():
+                    setattr(mod, attr, fn)
             D._make_decode_program.cache_clear()
-            report(f"feats greedy len=64 [{name}]", timed(make_task(64), feats))
+            report(
+                f"feats {mode} len=64 [{name}]",
+                timed(make_task(64, beam), feats),
+            )
         finally:
-            for attr in patches:
-                setattr(W, attr, originals[attr])
+            for mod, patches in mod_patches.items():
+                for attr in patches:
+                    setattr(mod, attr, originals[mod][attr])
     D._make_decode_program.cache_clear()
 
-    base = results["feats greedy len=64"]
-    for name, roof in [("no xa read", 0.54), ("no self attn", None),
-                       ("no mlp", 0.14)]:
-        cost = (base - results[f"feats greedy len=64 [{name}]"]) / 64
+    base = results[f"feats {mode} len=64"]
+    shares = [("no xa read", 0.54 if not beam else None),
+              ("no self attn", None), ("no mlp", 0.14 if not beam else None)]
+    if beam:
+        shares += [("no cache reorder", None), ("no top_k", None),
+                   ("no filters", None)]
+    for name, roof in shares:
+        cost = (base - results[f"feats {mode} len=64 [{name}]"]) / 64
         tag = f"(roofline ~{roof})" if roof else ""
         print(f"{name:20s} share/step {cost * 1000:8.2f} ms  {tag}")
-    rest = results["feats greedy len=64 [no xa, self, mlp]"] / 64
-    print(f"{'residual (LNs, projections, lm head, filters, loop)':20s}"
-          f" {rest * 1000:8.2f} ms/step at len=64")
+    if not beam:
+        rest = results["feats greedy len=64 [no xa, self, mlp]"] / 64
+        print(f"{'residual (LNs, projections, lm head, filters, loop)':20s}"
+              f" {rest * 1000:8.2f} ms/step at len=64")
 
 
 if __name__ == "__main__":

@@ -662,6 +662,24 @@ class DecodingTask:
         ]
 
 
+def _beam_topk(logprobs, k: int):
+    """Per-beam candidate shortlist (module-level so the decomposition
+    probe `tools/decode_probe.py` can ablate the top-k's cost)."""
+    return jax.lax.top_k(logprobs, k)
+
+
+def _reorder_beam_cache(cache, src_global):
+    """Physically gather the self K/V slabs to the surviving beams'
+    source rows (reference semantics: decoding.py:173-180
+    ``rearrange_kv_cache``). Module-level for the same probe; the audio
+    cross-attention K/V is beam-shared and never reordered."""
+    return dict(
+        cache,
+        k=cache["k"][:, src_global],
+        v=cache["v"][:, src_global],
+    )
+
+
 def compiled_program_stats() -> Dict[str, int]:
     """Count of DISTINCT compiled programs built in this process, per
     builder (= lru-cache misses; hits reuse an existing executable).
@@ -857,7 +875,7 @@ def _make_decode_program(
                 cfg, state["last_logits"], state["tokens"], state["cur_len"]
             )
             logprobs = jax.nn.log_softmax(logits, axis=-1)  # (B*G, V)
-            top_vals, top_idx = jax.lax.top_k(logprobs, K)  # (B*G, K)
+            top_vals, top_idx = _beam_topk(logprobs, K)  # (B*G, K)
             cand_scores = (state["sum_logprobs"][:, None] + top_vals).reshape(B, N)
             cand_tokens = top_idx.reshape(B, N)
 
@@ -891,11 +909,7 @@ def _make_decode_program(
                 (0, state["cur_len"]),
             )
             sum_logprobs = sel_scores.reshape(-1)
-            cache = dict(
-                state["cache"],
-                k=state["cache"]["k"][:, src_global],
-                v=state["cache"]["v"][:, src_global],
-            )
+            cache = _reorder_beam_cache(state["cache"], src_global)
 
             # -- newly finished sequences -> fixed-capacity buffer --
             eligible = s_is_eot & (nonterm_rank < G)
