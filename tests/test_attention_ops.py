@@ -16,6 +16,7 @@ import jax.numpy as jnp  # noqa: E402
 from whisper_flamingo_tpu.ops.attention import (  # noqa: E402
     cached_causal_mask,
     cached_qkv_attention,
+    cached_selector_attention,
     qkv_attention,
     transpose_kv,
     update_cache,
@@ -49,6 +50,54 @@ def test_cached_with_mask_matches_plain(rng_arrays):
     ref = qkv_attention(q, k, v, H, mask=mask)
     out = cached_qkv_attention(q, k * SCALE, v, H, mask=mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_selector_matches_chain(rng_arrays):
+    """Selector-form incremental self-attention (no head-split
+    transposes) == the split-head chain, with scalar and per-row masks."""
+    rng = np.random.default_rng(1)
+    q1 = jnp.asarray(rng.standard_normal((B, 1, D)), jnp.float32)
+    _, k, v = rng_arrays
+    for offset in (0, 3, TK - 1):
+        mask = cached_causal_mask(1, TK, offset)
+        ref = cached_qkv_attention(q1, k * SCALE, v, H, mask=mask)
+        out = cached_selector_attention(q1, k * SCALE, v, H, mask=mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    offsets = jnp.asarray([1, TK - 1], jnp.int32)
+    mask = cached_causal_mask(1, TK, offsets)
+    ref = cached_qkv_attention(q1, k * SCALE, v, H, mask=mask)
+    out = cached_selector_attention(q1, k * SCALE, v, H, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_beam_reorder_matmul_matches_gather():
+    """One-hot-matmul beam cache reorder is bit-exact vs the row gather."""
+    from whisper_flamingo_tpu import decoding
+
+    rng = np.random.default_rng(2)
+    cache = {
+        "k": jnp.asarray(
+            rng.standard_normal((3, 6, 5, 16)), jnp.bfloat16
+        ),
+        "v": jnp.asarray(
+            rng.standard_normal((3, 6, 5, 16)), jnp.bfloat16
+        ),
+        "other": jnp.zeros((2,)),
+    }
+    src = jnp.asarray([0, 0, 4, 2, 5, 1], jnp.int32)
+    old = decoding.REORDER
+    try:
+        decoding.REORDER = "gather"
+        ref = decoding._reorder_beam_cache(cache, src)
+        decoding.REORDER = "matmul"
+        out = decoding._reorder_beam_cache(cache, src)
+    finally:
+        decoding.REORDER = old
+    for key in ("k", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(out[key], np.float32), np.asarray(ref[key], np.float32)
+        )
+    assert out["other"] is cache["other"]
 
 
 def test_xa_transposed_matches_plain(rng_arrays):

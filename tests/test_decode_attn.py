@@ -82,8 +82,12 @@ def test_fused_step_multi_row_lockstep(monkeypatch):
     chain at beam-15 x b8; this pins the kernel's correctness.)"""
     monkeypatch.setattr(decode_attn, "MULTI_ENABLED", True)
     rng = np.random.default_rng(3)
-    b, t_max, d, n_head = 40, 24, 128, 2  # b > MAX_ROWS, 8 | b
-    assert b > decode_attn.MAX_ROWS
+    for b in (8, 40):  # single grid step / b > MAX_ROWS
+        _check_lockstep(rng, b)
+
+
+def _check_lockstep(rng, b):
+    t_max, d, n_head = 24, 128, 2
     assert decode_attn._pick_multi(b, t_max, d, 4) == 8
     q, k_raw, v_raw = (
         jnp.asarray(rng.standard_normal((b, 1, d)), jnp.float32)

@@ -130,9 +130,13 @@ def main():
     def no_self(q, k, v, n_head, mask=None):
         return jnp.zeros_like(q)  # skip self-cache read+update use
 
+    def no_self_sel(q, k, v, n_head, mask=None):
+        return jnp.zeros_like(q)
+
     ablations = [
         ("no xa read", {W: {"xa_qkv_attention": no_xa}}),
-        ("no self attn", {W: {"cached_qkv_attention": no_self}}),
+        ("no self attn", {W: {"cached_qkv_attention": no_self,
+                              "cached_selector_attention": no_self_sel}}),
         ("no mlp", {W: {"mlp_block": lambda p, x: x}}),
     ]
     if beam:
@@ -169,6 +173,7 @@ def main():
     originals = {
         W: {"xa_qkv_attention": orig_xa,
             "cached_qkv_attention": orig_self,
+            "cached_selector_attention": W.cached_selector_attention,
             "mlp_block": orig_mlp},
         D: {"_reorder_beam_cache": D._reorder_beam_cache,
             "_beam_topk": D._beam_topk,

@@ -668,11 +668,34 @@ def _beam_topk(logprobs, k: int):
     return jax.lax.top_k(logprobs, k)
 
 
+# Beam cache-reorder lowering. The profiler trace (r3, beam-15 x b8)
+# showed the straightforward row gather makes XLA lay the whole carried
+# (L, B*G, T, D) cache out BATCH-MINOR (rows on the lane axis): the
+# gather then lowers to chunked pad/maximum ops AND the stack gets
+# layout-copied twice per step for the attention reads — ~2.5 ms/step
+# of the 8.2 ms beam step. "matmul" expresses the same permutation as a
+# one-hot (rows, rows) contraction: a streaming MXU op with natural
+# layouts on both sides, bit-exact (each output row is one value plus
+# zeros). Flag kept for the A/B (tools/beam_reorder_ab.py).
+REORDER = "matmul"
+
+
 def _reorder_beam_cache(cache, src_global):
-    """Physically gather the self K/V slabs to the surviving beams'
+    """Physically reorder the self K/V slabs to the surviving beams'
     source rows (reference semantics: decoding.py:173-180
-    ``rearrange_kv_cache``). Module-level for the same probe; the audio
-    cross-attention K/V is beam-shared and never reordered."""
+    ``rearrange_kv_cache``). Module-level so the decomposition probe can
+    patch it; the audio cross-attention K/V is beam-shared and never
+    reordered."""
+    if REORDER == "matmul":
+        rows = cache["k"].shape[1]
+        onehot = jax.nn.one_hot(
+            src_global, rows, dtype=cache["k"].dtype, axis=-1
+        )  # (rows_new, rows_old)
+        perm = lambda slab: jnp.einsum(
+            "gs,lstd->lgtd", onehot, slab,
+            preferred_element_type=slab.dtype,
+        )
+        return dict(cache, k=perm(cache["k"]), v=perm(cache["v"]))
     return dict(
         cache,
         k=cache["k"][:, src_global],

@@ -44,6 +44,7 @@ from ..ops import decode_attn, decode_mlp
 from ..ops.attention import (
     cached_causal_mask,
     cached_qkv_attention,
+    cached_selector_attention,
     causal_mask,
     qkv_attention,
     transpose_kv,
@@ -53,6 +54,12 @@ from ..ops.attention import (
 from .dims import ModelDimensions
 
 Params = Dict[str, Any]
+
+# Incremental self-attention form for many-row (beam x batch) decode
+# steps: "selector" (cached_selector_attention, no head-split
+# transposes) vs the split-head chain. Default set by on-chip A/B
+# (tools/beam_reorder_ab.py, docs/performance.md).
+SELECTOR_SELF = True
 
 
 # ---------------------------------------------------------------------------
@@ -659,10 +666,19 @@ def decoder_apply(
                 # — the slab layout cached_qkv_attention consumes
                 k_l = update_cache(k_l, k_raw * scale, offset)
                 v_l = update_cache(v_l, v_raw, offset)
-                x = x + linear(
-                    ap["out"],
-                    cached_qkv_attention(q, k_l, v_l, n_head, mask=mask),
-                )
+                if SELECTOR_SELF and T == 1 and (
+                    tokens.shape[0] > decode_attn.MAX_ROWS
+                ):
+                    # many-row incremental steps (beam x batch): the
+                    # selector form avoids the per-step head-split
+                    # transposes + layout copies the profiler traced to
+                    # ~1 ms/step at beam-15 (ops/attention.py)
+                    attn = cached_selector_attention(
+                        q, k_l, v_l, n_head, mask=mask
+                    )
+                else:
+                    attn = cached_qkv_attention(q, k_l, v_l, n_head, mask=mask)
+                x = x + linear(ap["out"], attn)
             x = x + attention_block(
                 bp["cross_attn"], layer_norm(bp["cross_attn_ln"], x), n_head,
                 k_override=xa_k_l, v_override=xa_v_l,

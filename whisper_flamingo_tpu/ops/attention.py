@@ -283,6 +283,54 @@ def cached_qkv_attention(
     return merge_heads(jnp.einsum("bhqk,bhkd->bhqd", weights, vh))
 
 
+def cached_selector_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    n_head: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Incremental (Tq == 1) self-attention over unsplit cache slabs with
+    NO head-split transposes: per-head logits come from a (D, H)
+    lane-group selector matrix S (S[d, h] = 1 iff lane d belongs to head
+    h) — ``logits = (K (*) q) @ S`` — and the per-head weights expand
+    back to lanes with ``@ S^T`` before one multiply-reduce over time.
+    Same trick as the fused decode kernel (ops/decode_attn.py), at the
+    XLA level: the profiler trace showed ``cached_qkv_attention``'s
+    physical (B, T, D) -> (B, H, T, dh) transposes + layout copies cost
+    more than the attention math at many-row (beam) shapes.
+
+    Numerics: fp32 logits/softmax (exact f32 k*q products, single-term
+    selector dots), weights cast to the compute dtype before the V
+    reduce — same contract as cached_qkv_attention / the Pallas kernel.
+    """
+    b, t_q, d = q.shape
+    assert t_q == 1, "selector form is for incremental steps"
+    d_head = d // n_head
+    scale = d_head ** -0.25
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 0)
+    h_idx = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 1)
+    sel = (d_idx // d_head == h_idx).astype(jnp.float32)
+
+    qs = (q[:, 0, :].astype(jnp.float32)) * scale  # (B, D); K pre-scaled
+    prod = k.astype(jnp.float32) * qs[:, None, :]  # (B, T, D)
+    logits = jnp.einsum(
+        "btd,dh->bth", prod, sel, preferred_element_type=jnp.float32
+    )  # (B, T, H) fp32
+    if mask is not None:
+        # mask is (1|B, cache_len) additive over time after squeezing the
+        # (q_len, head) axes; accept the cached_causal_mask shapes
+        m = mask.reshape(mask.shape[0], -1, mask.shape[-1])[:, -1, :]
+        logits = logits + m[:, :, None]
+    w = jax.nn.softmax(logits, axis=1)  # over time
+    wl = jnp.einsum(
+        "bth,dh->btd", w.astype(q.dtype).astype(jnp.float32),
+        sel,
+    )
+    out = jnp.sum(wl * v.astype(jnp.float32), axis=1, keepdims=True)
+    return out.astype(q.dtype)
+
+
 def xa_qkv_attention(
     q: jax.Array, kT: jax.Array, vT: jax.Array, n_head: int,
     k_scale: Optional[jax.Array] = None, v_scale: Optional[jax.Array] = None,

@@ -343,7 +343,7 @@ def fused_step(q, k_raw, v_raw, k_cache, v_cache, offset, n_head):
             f"(got {k_cache.shape[-2]}); init_cache pads to 8"
         )
     lockstep = getattr(offset, "ndim", 0) == 0
-    if lockstep and b > MAX_ROWS:
+    if lockstep:
         m = _pick_multi(b, k_cache.shape[-2], d, k_cache.dtype.itemsize)
         if m:
             offsets = jnp.full((1,), offset, jnp.int32)
