@@ -218,6 +218,19 @@ def main() -> None:
     print(f"beam15: rtf={beam_rtf:.1f} tok/s={beam_tok_s:.0f}", file=sys.stderr)
     _RESULT[f"beam15_decode_rtf_{model_name}_b{batch}"] = round(beam_rtf, 3)
     _RESULT["beam15_tokens_per_sec"] = round(beam_tok_s, 1)
+    # int8kv beam serving mode (int8 weights/slabs + int8 self cache with
+    # per-token scales): the beam step is bytes-bound on the self-cache
+    # reads + physical beam reorder, so this is the beam-path int8 lever
+    # (docs/performance.md). Guarded like the greedy int8 leg.
+    try:
+        beam_kv_rtf, _ = _decode_bench(
+            model, mel, sample_len, 15, max(iters // 3, 1), eot, "int8kv"
+        )
+        print(f"beam15 int8kv: rtf={beam_kv_rtf:.1f}", file=sys.stderr)
+    except Exception as e:
+        beam_kv_rtf = 0.0
+        print(f"int8kv beam bench failed: {e}", file=sys.stderr)
+    _RESULT[f"beam15_int8kv_rtf_{model_name}_b{batch}"] = round(beam_kv_rtf, 3)
     train_ms, train_mfu = _train_bench(dims, params, max(iters // 2, 2))
     print(f"train: {train_ms:.1f} ms/step mfu={train_mfu:.3f}", file=sys.stderr)
     _RESULT[f"train_step_ms_{model_name}_b{batch}"] = round(train_ms, 2)
@@ -255,6 +268,18 @@ def main() -> None:
             lb_rtf, _ = _decode_bench(lmodel, mel, sample_len, 15, 2, eot)
             print(f"{flagship_name} beam15: rtf={lb_rtf:.1f}", file=sys.stderr)
             _RESULT[f"{key}_beam15_rtf_b{batch}"] = round(lb_rtf, 3)
+            try:
+                lbkv_rtf, _ = _decode_bench(
+                    lmodel, mel, sample_len, 15, 2, eot, "int8kv"
+                )
+            except Exception as e:
+                lbkv_rtf = 0.0
+                print(f"flagship int8kv beam bench failed: {e}", file=sys.stderr)
+            print(
+                f"{flagship_name} beam15 int8kv: rtf={lbkv_rtf:.1f}",
+                file=sys.stderr,
+            )
+            _RESULT[f"{key}_beam15_int8kv_rtf_b{batch}"] = round(lbkv_rtf, 3)
         except Exception as e:  # flagship failure must not lose the headline
             _RESULT["flagship_error"] = f"{type(e).__name__}: {e}"
             print(f"flagship bench failed: {e}", file=sys.stderr)

@@ -189,3 +189,94 @@ def test_quantize_option_validated():
     mel = np.zeros((1, DIMS.n_mels, 3000), np.float32)
     with pytest.raises(ValueError, match="quantize"):
         decode(model, mel, DecodingOptions(language="en", quantize="int4"))
+
+
+# -- "int8kv": the int8 *self* cache (beam serving mode) ---------------------
+
+
+def test_quantize_tokenwise_kv_roundtrip_bound():
+    from whisper_flamingo_tpu.ops.quant import quantize_tokenwise_kv
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((3, 10, 16)), jnp.float32)
+    q, s = quantize_tokenwise_kv(x, n_head=2)
+    assert q.dtype == jnp.int8 and q.shape == x.shape
+    assert s.shape == (3, 10, 2)  # one scale per (row, token, head)
+    deq = np.asarray(q, np.float32).reshape(3, 10, 2, 8) * np.asarray(s)[..., None]
+    err = np.abs(deq - np.asarray(x).reshape(3, 10, 2, 8))
+    assert np.all(err <= np.asarray(s)[..., None] / 2 + 1e-7)
+
+
+def test_int8kv_decode_loop_error_bounded(gated_params):
+    """Prefill + one incremental step with the int8 SELF cache: logits
+    track the fp32 chain (per-token scales keep the error bounded)."""
+    rng = np.random.default_rng(6)
+    B, D = 2, DIMS.n_text_state
+    xa = jnp.asarray(rng.standard_normal((B, DIMS.n_audio_ctx, D)), jnp.float32)
+    xt = jnp.asarray(rng.standard_normal((2, B, 6, D)), jnp.float32)
+    tokens = jnp.asarray(rng.integers(0, DIMS.n_vocab, (B, 4)), jnp.int32)
+    nxt = jnp.asarray(rng.integers(0, DIMS.n_vocab, (B, 1)), jnp.int32)
+
+    fused = fuse_decode_qkv(gated_params)
+    cache = init_cache(fused, DIMS, xa, xt=xt, max_len=16)
+    ref, cache = decoder_apply(fused, DIMS, tokens, cache=cache, offset=0)
+    ref2, _ = decoder_apply(fused, DIMS, nxt, cache=cache, offset=4)
+
+    qp = quantize_decode_params(fused)
+    qcache = init_cache(
+        qp, DIMS, xa, xt=xt, max_len=16, quantize=True, quantize_self=True
+    )
+    assert qcache["k"].dtype == jnp.int8 and qcache["v"].dtype == jnp.int8
+    assert qcache["k_s"].shape == (
+        DIMS.n_text_layer, B, 16, DIMS.n_text_head
+    )
+    got, qcache = decoder_apply(qp, DIMS, tokens, cache=qcache, offset=0)
+    assert qcache["k"].dtype == jnp.int8  # stays int8 through the step
+    got2, _ = decoder_apply(qp, DIMS, nxt, cache=qcache, offset=4)
+
+    for r, g in ((ref, got), (ref2, got2)):
+        r, g = np.asarray(r), np.asarray(g)
+        assert np.max(np.abs(g - r)) / np.std(r) < 0.3
+        corr = np.corrcoef(r.ravel(), g.ravel())[0, 1]
+        assert corr > 0.999
+
+
+def test_int8kv_beam_reorder_matmul_exact():
+    """The one-hot-matmul reorder on int8 slabs + f32 scale slabs is
+    bit-identical to the row gather (int32 MXU accumulation)."""
+    from whisper_flamingo_tpu import decoding as dec_mod
+
+    rng = np.random.default_rng(8)
+    L, R, T, D, H = 2, 6, 8, 16, 2
+    cache = {
+        "k": jnp.asarray(rng.integers(-127, 128, (L, R, T, D)), jnp.int8),
+        "v": jnp.asarray(rng.integers(-127, 128, (L, R, T, D)), jnp.int8),
+        "k_s": jnp.asarray(rng.random((L, R, T, H)), jnp.float32),
+        "v_s": jnp.asarray(rng.random((L, R, T, H)), jnp.float32),
+        "xa_k": jnp.zeros((L, R, H, D // H, 4)),  # beam-shared: untouched
+    }
+    src = jnp.asarray(rng.integers(0, R, (R,)), jnp.int32)
+    out = dec_mod._reorder_beam_cache(cache, src)
+    for key in ("k", "v", "k_s", "v_s"):
+        assert out[key].dtype == cache[key].dtype
+        np.testing.assert_array_equal(
+            np.asarray(out[key]), np.asarray(cache[key][:, src])
+        )
+    np.testing.assert_array_equal(np.asarray(out["xa_k"]), np.asarray(cache["xa_k"]))
+
+
+@pytest.mark.parametrize("beam_size", [None, 2])
+def test_decode_int8kv_end_to_end(beam_size):
+    params = init_params(jax.random.PRNGKey(1), DIMS)
+    model = Whisper(dims=DIMS, params=params)
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((1, DIMS.n_mels, 3000)).astype(np.float32) * 0.5
+    kw = dict(
+        language="en", sample_len=8, without_timestamps=True, fp16=False,
+        beam_size=beam_size,
+    )
+    base = decode(model, mel, DecodingOptions(**kw))[0]
+    q = decode(model, mel, DecodingOptions(quantize="int8kv", **kw))[0]
+    assert isinstance(q.tokens, list) and len(q.tokens) > 0
+    assert np.isfinite(q.avg_logprob)
+    assert q.language == base.language

@@ -5,8 +5,9 @@ without DecodingOptions(quantize="int8"), same process, interleaved
 baseline re-runs to bound tunnel drift. Uses bench.py's honesty guard
 (EOT suppressed, full token budget asserted).
 
-Usage:  python tools/int8_ab.py [model] [iters] [beams]
-        # defaults: small 12 "greedy,15"; e.g. `large-v2 3 greedy`
+Usage:  python tools/int8_ab.py [model] [iters] [beams] [modes]
+        # defaults: small 12 "greedy,15" int8
+        # e.g. `large-v2 3 15 int8,int8kv` A/Bs both quantize modes
 """
 
 import os
@@ -52,6 +53,7 @@ def main():
         None if b in ("greedy", "none") else int(b)
         for b in (sys.argv[3] if len(sys.argv) > 3 else "greedy,15").split(",")
     ]
+    modes = (sys.argv[4] if len(sys.argv) > 4 else "int8").split(",")
     batch, sample_len = 8, 64
 
     dims = MODEL_DIMS[model_name]
@@ -77,13 +79,16 @@ def main():
     for beam in beams:
         it = iters if beam is None else max(iters // 3, 2)
         base1 = run(task(None, beam), mel, sample_len, it)
-        int8 = run(task("int8", beam), mel, sample_len, it)
+        quant = {m: run(task(m, beam), mel, sample_len, it) for m in modes}
         base2 = run(task(None, beam), mel, sample_len, it)  # drift check
         base = max(base1, base2)
         tag = "greedy" if beam is None else f"beam{beam}"
         print(
             f"{model_name} {tag}: bf16 {base1:.1f}/{base2:.1f}x  "
-            f"int8 {int8:.1f}x  speedup {int8 / base:.3f}x"
+            + "  ".join(
+                f"{m} {r:.1f}x (speedup {r / base:.3f}x)"
+                for m, r in quant.items()
+            )
         )
 
 

@@ -122,8 +122,14 @@ class DecodingOptions:
     # conditioning K/V slabs) as int8 with per-channel/per-head scales.
     # The loop is HBM-bytes-bound (tools/int8_probe.py), so halving the
     # bytes speeds decode up at a small, bounded numeric cost (symmetric
-    # per-channel quantization; logits typically within ~1%). Opt-in
-    # serving mode — None (default) keeps exact reference parity.
+    # per-channel quantization; logits typically within ~1%). "int8kv"
+    # additionally stores the decode *self* cache int8 with
+    # per-(token, head) scales — the beam-mode lever: the many-row beam
+    # step is dominated by the self-cache reads and the physical beam
+    # reorder, both bytes-bound (measured beam-15: small +16%, large-v2
+    # +26% over bf16; greedy should use "int8", which keeps the fused
+    # decode-attn kernel). Opt-in serving modes — None (default) keeps
+    # exact reference parity.
     quantize: Optional[str] = None
 
     # When True, each DecodingResult carries a host-side numpy copy of its
@@ -388,8 +394,11 @@ class DecodingTask:
             raise ValueError("patience requires beam_size to be given")
         if options.length_penalty is not None and not (0 <= options.length_penalty <= 1):
             raise ValueError("length_penalty (alpha) should be a value between 0 and 1")
-        if options.quantize not in (None, "int8"):
-            raise ValueError(f"quantize must be None or 'int8', got {options.quantize!r}")
+        if options.quantize not in (None, "int8", "int8kv"):
+            raise ValueError(
+                "quantize must be None, 'int8' or 'int8kv', "
+                f"got {options.quantize!r}"
+            )
         return options
 
     def _get_initial_tokens(self) -> Tuple[int, ...]:
@@ -465,7 +474,7 @@ class DecodingTask:
             self.sot_index,
             True,
             getattr(self.model.extras, "sequential_gated_x_attn", False),
-            quantize=self.options.quantize == "int8",
+            quantize=self.options.quantize,
         )
 
     @cached_property
@@ -482,7 +491,7 @@ class DecodingTask:
             self.compute_dtype,
             self.tokenizer.no_speech,
             self.sot_index,
-            quantize=self.options.quantize == "int8",
+            quantize=self.options.quantize,
         )
 
 
@@ -686,21 +695,23 @@ def _reorder_beam_cache(cache, src_global):
     ``rearrange_kv_cache``). Module-level so the decomposition probe can
     patch it; the audio cross-attention K/V is beam-shared and never
     reordered."""
+    self_keys = [k for k in ("k", "v", "k_s", "v_s") if k in cache]
     if REORDER == "matmul":
         rows = cache["k"].shape[1]
-        onehot = jax.nn.one_hot(
-            src_global, rows, dtype=cache["k"].dtype, axis=-1
-        )  # (rows_new, rows_old)
-        perm = lambda slab: jnp.einsum(
-            "gs,lstd->lgtd", onehot, slab,
-            preferred_element_type=slab.dtype,
-        )
-        return dict(cache, k=perm(cache["k"]), v=perm(cache["v"]))
-    return dict(
-        cache,
-        k=cache["k"][:, src_global],
-        v=cache["v"][:, src_global],
-    )
+
+        def perm(slab):
+            # int8 slabs (quantize="int8kv"): contract in int8 with an
+            # int32 accumulator (MXU-native), cast back — still bit-exact
+            # (each output row is one int8 value plus zeros)
+            acc = jnp.int32 if slab.dtype == jnp.int8 else slab.dtype
+            onehot = jax.nn.one_hot(src_global, rows, dtype=slab.dtype, axis=-1)
+            out = jnp.einsum(
+                "gs,ls...->lg...", onehot, slab, preferred_element_type=acc
+            )
+            return out.astype(slab.dtype)
+
+        return dict(cache, **{k: perm(cache[k]) for k in self_keys})
+    return dict(cache, **{k: cache[k][:, src_global] for k in self_keys})
 
 
 def compiled_program_stats() -> Dict[str, int]:
@@ -768,14 +779,18 @@ def _make_decode_program(
     sot_index: int,
     use_xt: bool = False,
     sequential_xt: bool = False,
-    quantize: bool = False,
+    quantize=None,
 ):
     """Build (and cache) the jitted end-to-end decode program for one
     static decode configuration. With ``use_xt`` the program takes an
-    extra conditioning-stream operand consumed by gated x-attn. With
-    ``quantize`` the loop-resident weights and K/V slabs are stored int8
-    (DecodingOptions.quantize="int8"; see models.whisper
-    .quantize_decode_params)."""
+    extra conditioning-stream operand consumed by gated x-attn.
+    ``quantize`` is the DecodingOptions.quantize mode: "int8" stores the
+    loop-resident weights and static K/V slabs int8 (see models.whisper
+    .quantize_decode_params); "int8kv" additionally stores the decode
+    *self* cache int8 with per-token scales — the beam-mode variant,
+    where the self-cache reads + physical beam reorder dominate the
+    step and are bytes-bound (docs/performance.md)."""
+    quantize_self = quantize == "int8kv"
 
     def prefill_and_loop(params, audio_features, init_tokens, rng, xt=None):
         n_audio = init_tokens.shape[0]  # B (un-repeated)
@@ -784,7 +799,7 @@ def _make_decode_program(
 
         # one-time param transform (dtype cast / QKV fusion / optional
         # int8 quantization), shared with the speculative program builder
-        params = prepare_decode_params(params, dtype, quantize)
+        params = prepare_decode_params(params, dtype, bool(quantize))
 
         # audio/conditioning K/V and the prefill run at batch B: prompts
         # are identical across beams, and cross-attention K/V is shared
@@ -793,7 +808,7 @@ def _make_decode_program(
         cache = init_cache(
             params, dims, audio_features,
             xt=xt if use_xt else None, max_len=max_len, dtype=dtype,
-            quantize=quantize,
+            quantize=bool(quantize), quantize_self=quantize_self,
         )
         logits, cache = decoder_apply(
             params, dims, init_tokens, cache=cache, offset=0, dtype=dtype,
@@ -809,6 +824,13 @@ def _make_decode_program(
             cache,
             k=jnp.repeat(cache["k"], G, axis=1),
             v=jnp.repeat(cache["v"], G, axis=1),
+            **(
+                dict(
+                    k_s=jnp.repeat(cache["k_s"], G, axis=1),
+                    v_s=jnp.repeat(cache["v_s"], G, axis=1),
+                )
+                if quantize_self else {}
+            ),
         )
         logits = jnp.repeat(logits[:, -1:], G, axis=0)
         init_tokens = jnp.repeat(init_tokens, G, axis=0)

@@ -434,6 +434,7 @@ def init_cache(
     max_len: Optional[int] = None,
     dtype=jnp.float32,
     quantize: bool = False,
+    quantize_self: bool = False,
 ) -> Dict[str, jax.Array]:
     """Preallocate the decode cache and precompute all static K/V.
 
@@ -458,7 +459,15 @@ def init_cache(
     decode loop re-reads them every token and is bytes-bound, so halving
     their bytes measured ~1.8x faster slab attention
     (tools/int8_probe.py). The self cache stays in ``dtype`` (written
-    per step; short time axis).
+    per step; short time axis) unless ``quantize_self`` is ALSO set
+    (``DecodingOptions(quantize="int8kv")``): then the self K/V slabs
+    are int8 with per-(token, head) scales (``k_s``/``v_s``,
+    (L, B, T, H)) written alongside each token. This targets the
+    many-row beam step, whose cost is dominated by the self-cache
+    reads + the physical beam reorder — both bytes-bound, so int8
+    halves them (the greedy path loses the fused decode_attn kernel
+    under int8, so "int8" without the self cache stays the greedy
+    serving mode).
     """
     dec = params["decoder"]
     L = dims.n_text_layer
@@ -480,11 +489,15 @@ def init_cache(
 
     _, (xa_k, xa_v) = jax.lax.scan(xa_kv, None, dec["blocks"])
     cache = {
-        "k": jnp.zeros((L, B, T, D), dtype),
-        "v": jnp.zeros((L, B, T, D), dtype),
+        "k": jnp.zeros((L, B, T, D), jnp.int8 if quantize_self else dtype),
+        "v": jnp.zeros((L, B, T, D), jnp.int8 if quantize_self else dtype),
         "xa_k": xa_k,  # (L, B, H, Dh, Ta), K pre-scaled
         "xa_v": xa_v,
     }
+    if quantize_self:
+        # per-(token, head) dequant scales; zero = unwritten (masked)
+        cache["k_s"] = jnp.zeros((L, B, T, H), jnp.float32)
+        cache["v_s"] = jnp.zeros((L, B, T, H), jnp.float32)
     if quantize:
         from ..ops.quant import quantize_int8
 
@@ -613,9 +626,16 @@ def decoder_apply(
         # int8 serving mode (see quantize_decode_params / init_cache):
         # slabs carry per-head dequant scales scanned alongside them
         quantized = "xa_k_s" in cache
+        # "int8kv": the self cache is int8 too, with per-(token, head)
+        # scales written each step (init_cache(quantize_self=True))
+        quantized_self = "k_s" in cache
 
         def block_fn(x, layer_in):
-            bp, k_l, v_l, xa_kv_l, xt_kv_l = layer_in
+            bp, self_kv_l, xa_kv_l, xt_kv_l = layer_in
+            if quantized_self:
+                k_l, v_l, k_s_l, v_s_l = self_kv_l
+            else:
+                (k_l, v_l), k_s_l, v_s_l = self_kv_l, None, None
             if quantized:
                 xa_k_l, xa_v_l, xa_ks_l, xa_vs_l = xa_kv_l
             else:
@@ -649,7 +669,7 @@ def decoder_apply(
                 q = linear(ap["q"], x_ln)
                 k_raw = linear(ap["k"], x_ln)
                 v_raw = linear(ap["v"], x_ln)
-            if decode_attn.dispatch(
+            if not quantized_self and decode_attn.dispatch(
                 T, cache_len, tokens.shape[0],
                 lockstep=getattr(offset, "ndim", 0) == 0,
                 d=dims.n_text_state, itemsize=k_l.dtype.itemsize,
@@ -664,8 +684,18 @@ def decoder_apply(
             else:
                 # write the new token's K/V unsplit (B, T, D), K pre-scaled
                 # — the slab layout cached_qkv_attention consumes
-                k_l = update_cache(k_l, k_raw * scale, offset)
-                v_l = update_cache(v_l, v_raw, offset)
+                if quantized_self:
+                    from ..ops.quant import quantize_tokenwise_kv
+
+                    k_q, k_s_new = quantize_tokenwise_kv(k_raw * scale, n_head)
+                    v_q, v_s_new = quantize_tokenwise_kv(v_raw, n_head)
+                    k_l = update_cache(k_l, k_q, offset)
+                    v_l = update_cache(v_l, v_q, offset)
+                    k_s_l = update_cache(k_s_l, k_s_new, offset)
+                    v_s_l = update_cache(v_s_l, v_s_new, offset)
+                else:
+                    k_l = update_cache(k_l, k_raw * scale, offset)
+                    v_l = update_cache(v_l, v_raw, offset)
                 if SELECTOR_SELF and T == 1 and (
                     tokens.shape[0] > decode_attn.MAX_ROWS
                 ):
@@ -674,10 +704,14 @@ def decoder_apply(
                     # transposes + layout copies the profiler traced to
                     # ~1 ms/step at beam-15 (ops/attention.py)
                     attn = cached_selector_attention(
-                        q, k_l, v_l, n_head, mask=mask
+                        q, k_l, v_l, n_head, mask=mask,
+                        k_scale=k_s_l, v_scale=v_s_l,
                     )
                 else:
-                    attn = cached_qkv_attention(q, k_l, v_l, n_head, mask=mask)
+                    attn = cached_qkv_attention(
+                        q, k_l, v_l, n_head, mask=mask,
+                        k_scale=k_s_l, v_scale=v_s_l,
+                    )
                 x = x + linear(ap["out"], attn)
             x = x + attention_block(
                 bp["cross_attn"], layer_norm(bp["cross_attn_ln"], x), n_head,
@@ -692,8 +726,14 @@ def decoder_apply(
                 )
             else:
                 x = x + mlp_block(bp["mlp"], layer_norm(bp["mlp_ln"], x))
+            if quantized_self:
+                return x, (k_l, v_l, k_s_l, v_s_l)
             return x, (k_l, v_l)
 
+        self_kv = (
+            (cache["k"], cache["v"], cache["k_s"], cache["v_s"])
+            if quantized_self else (cache["k"], cache["v"])
+        )
         xa_kv = (
             (cache["xa_k"], cache["xa_v"], cache["xa_k_s"], cache["xa_v_s"])
             if quantized else (cache["xa_k"], cache["xa_v"])
@@ -707,12 +747,18 @@ def decoder_apply(
             xt_kv = (
                 jnp.zeros((dims.n_text_layer,)), jnp.zeros((dims.n_text_layer,))
             )
-        x, (new_k, new_v) = jax.lax.scan(
+        x, new_self = jax.lax.scan(
             block_fn,
             x,
-            (dec["blocks"], cache["k"], cache["v"], xa_kv, xt_kv),
+            (dec["blocks"], self_kv, xa_kv, xt_kv),
         )
-        new_cache = dict(cache, k=new_k, v=new_v)
+        if quantized_self:
+            new_cache = dict(
+                cache, k=new_self[0], v=new_self[1],
+                k_s=new_self[2], v_s=new_self[3],
+            )
+        else:
+            new_cache = dict(cache, k=new_self[0], v=new_self[1])
 
     x = layer_norm(dec["ln"], x)
     # tied-embedding logits: matmul in the compute dtype with an fp32 MXU

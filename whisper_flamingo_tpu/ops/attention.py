@@ -256,6 +256,8 @@ def cached_qkv_attention(
     v: jax.Array,
     n_head: int,
     mask: Optional[jax.Array] = None,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Self-attention against the decode self-KV cache.
 
@@ -269,6 +271,12 @@ def cached_qkv_attention(
     Numerics parity: the reference applies the scale to both q and k
     (reference model.py:93-108); scaling k once at write time is the
     same multiplication, done earlier.
+
+    With ``k_scale``/``v_scale`` (per-(token, head) (B, T_max, H) dequant
+    scales, ``quantize="int8kv"``) the slabs may be int8: K's scale folds
+    into the logits and V's into the attention weights. Scales apply
+    BEFORE the additive mask — unwritten positions carry scale 0 and
+    mask -inf, and ``0 * -inf`` would be NaN the other way around.
     """
     d_head = q.shape[-1] // n_head
     qh = split_heads(q, n_head) * (d_head**-0.25)
@@ -277,9 +285,15 @@ def cached_qkv_attention(
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
     )
+    if k_scale is not None:  # (B, T, H) -> (B, H, 1, T)
+        logits = logits * k_scale.transpose(0, 2, 1)[:, :, None, :]
     if mask is not None:
         logits = logits + mask
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    if v_scale is not None:
+        weights = weights * v_scale.transpose(0, 2, 1)[:, :, None, :].astype(
+            weights.dtype
+        )
     return merge_heads(jnp.einsum("bhqk,bhkd->bhqd", weights, vh))
 
 
@@ -289,6 +303,8 @@ def cached_selector_attention(
     v: jax.Array,
     n_head: int,
     mask: Optional[jax.Array] = None,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Incremental (Tq == 1) self-attention over unsplit cache slabs with
     NO head-split transposes: per-head logits come from a (D, H)
@@ -303,6 +319,12 @@ def cached_selector_attention(
     Numerics: fp32 logits/softmax (exact f32 k*q products, single-term
     selector dots), weights cast to the compute dtype before the V
     reduce — same contract as cached_qkv_attention / the Pallas kernel.
+
+    ``k_scale``/``v_scale`` ((B, T, H) per-token-per-head dequant scales,
+    ``quantize="int8kv"``): int8 slabs dequant through the logits /
+    weights, which in this form are ALREADY (B, T, H) — the scale folds
+    are plain elementwise multiplies with no reshaping at all. Scales
+    apply before the additive mask (0-scale unwritten rows vs -inf).
     """
     b, t_q, d = q.shape
     assert t_q == 1, "selector form is for incremental steps"
@@ -317,12 +339,16 @@ def cached_selector_attention(
     logits = jnp.einsum(
         "btd,dh->bth", prod, sel, preferred_element_type=jnp.float32
     )  # (B, T, H) fp32
+    if k_scale is not None:
+        logits = logits * k_scale
     if mask is not None:
         # mask is (1|B, cache_len) additive over time after squeezing the
         # (q_len, head) axes; accept the cached_causal_mask shapes
         m = mask.reshape(mask.shape[0], -1, mask.shape[-1])[:, -1, :]
         logits = logits + m[:, :, None]
     w = jax.nn.softmax(logits, axis=1)  # over time
+    if v_scale is not None:
+        w = w * v_scale
     wl = jnp.einsum(
         "bth,dh->btd", w.astype(q.dtype).astype(jnp.float32),
         sel,

@@ -49,6 +49,28 @@ def quantize_int8(x: jax.Array, axis) -> Tuple[jax.Array, jax.Array]:
     return q.astype(jnp.int8), scale
 
 
+def quantize_tokenwise_kv(x: jax.Array, n_head: int) -> Tuple[jax.Array, jax.Array]:
+    """Per-(token, head) symmetric int8 for *incrementally written* K/V
+    rows (the decode self cache, ``DecodingOptions(quantize="int8kv")``).
+
+    ``x`` (..., T, D) -> ``(q, scale)`` with ``q`` int8 (..., T, D) and
+    ``scale`` (..., T, H). Unlike the static slabs (per-head scales over
+    the whole slab), each written token carries its own scale: the cache
+    fills one token per step, so a slab-wide amax is unknowable at write
+    time, and per-token scales keep the quantization error from growing
+    with sequence length. K's scale folds into the attention logits and
+    V's into the attention weights — both per-(position, head)
+    elementwise multiplies on tiny matrices.
+    """
+    *lead, t, d = x.shape
+    xh = x.astype(jnp.float32).reshape(*lead, t, n_head, d // n_head)
+    amax = jnp.max(jnp.abs(xh), axis=-1)  # (..., T, H)
+    scale = amax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-30), 0.0)
+    q = jnp.round(xh * inv[..., None]).reshape(*lead, t, d)
+    return q.astype(jnp.int8), scale
+
+
 def quantize_linear_params(p: dict) -> dict:
     """Quantize one linear layer's params ``{"w": (..., D_in, D_out)
     [, "b"]}`` to ``{"w_q", "w_s" [, "b"]}`` (per-output-channel scales).

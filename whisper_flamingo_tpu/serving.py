@@ -400,7 +400,7 @@ class ContinuousBatcher:
             self._task.compute_dtype,
             self._task.tokenizer.no_speech,
             self._task.sot_index,
-            self.options.quantize == "int8",
+            self.options.quantize in ("int8", "int8kv"),
             dims_d=draft_model.dims if draft_model is not None else None,
             draft_len=draft_len,
         )

@@ -324,7 +324,7 @@ class SpeculativeDecodingTask(DecodingTask):
             self.compute_dtype,
             self.tokenizer.no_speech,
             self.sot_index,
-            quantize=self.options.quantize == "int8",
+            quantize=self.options.quantize in ("int8", "int8kv"),
         )
 
         def call(params, audio_features, init_tokens, rng):
