@@ -18,8 +18,29 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 # persistent XLA compile cache: recompiles of identical programs (across
-# in-process recipe smoke cells, and across suite runs) become disk hits
-jax.config.update("jax_compilation_cache_dir", "/tmp/wf_cpu_jax_cache")
+# in-process recipe smoke cells, and across suite runs) become disk hits.
+# The dir is salted with this host's CPU feature set: XLA:CPU caches AOT
+# *machine code* keyed without the full feature flags, and /tmp can
+# outlive a fleet-VM migration — loading an executable compiled for a
+# different microarchitecture logs `cpu_aot_loader ... could lead to
+# execution errors such as SIGILL` and can crash the whole pytest
+# process (observed as a faulthandler dump mid-suite).
+import hashlib  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _cpu = _f.read()
+    _feats = next(
+        (ln for ln in _cpu.splitlines() if ln.startswith("flags")), _cpu[:4096]
+    )
+except OSError:  # non-Linux fallback: per-boot salt is still safe
+    import platform
+
+    _feats = platform.processor() + platform.machine()
+_salt = hashlib.md5(_feats.encode()).hexdigest()[:10]
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/wf_cpu_jax_cache_{_salt}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -68,9 +68,11 @@ def cli():
     # TPU-native extension (no reference equivalent): int8 serving mode
     # for the bytes-bound decode loop (see DecodingOptions.quantize)
     parser.add_argument("--quantize", type=optional_str, default=None,
-                        choices=(None, "int8"),
+                        choices=(None, "int8", "int8kv"),
                         help="store decode-loop weights/KV slabs int8 "
-                             "(faster serving; small bounded numeric cost)")
+                             "(faster serving; small bounded numeric "
+                             "cost); int8kv also stores the decode self "
+                             "cache int8 — the beam-mode variant")
     # TPU-native extension: speculative decoding (speculative.py) — a
     # small draft model proposes tokens the flagship verifies in one
     # pass; applies to greedy (t=0, no beam) windows, token-identical
