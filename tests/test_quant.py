@@ -280,3 +280,24 @@ def test_decode_int8kv_end_to_end(beam_size):
     assert isinstance(q.tokens, list) and len(q.tokens) > 0
     assert np.isfinite(q.avg_logprob)
     assert q.language == base.language
+
+
+def test_decode_int8kv_with_conditioning_beam(gated_params):
+    """int8kv composes with gated x-attn conditioning under beam search:
+    int8 xt slabs + int8 self cache + the beam reorder in one program."""
+    model = Whisper(
+        dims=DIMS, params=gated_params,
+        extras=ModelExtras(add_gated_x_attn=1, num_langs=2),
+    )
+    rng = np.random.default_rng(9)
+    mel = rng.standard_normal((1, DIMS.n_mels, 3000)).astype(np.float32) * 0.5
+    xt = rng.standard_normal((2, 1, 6, DIMS.n_text_state)).astype(np.float32)
+    kw = dict(
+        language="en", sample_len=6, without_timestamps=True, fp16=False,
+        beam_size=2,
+    )
+    base = decode(model, mel, DecodingOptions(**kw), xt=xt)[0]
+    q = decode(model, mel, DecodingOptions(quantize="int8kv", **kw), xt=xt)[0]
+    assert isinstance(q.tokens, list) and len(q.tokens) > 0
+    assert np.isfinite(q.avg_logprob)
+    assert q.language == base.language
