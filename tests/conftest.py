@@ -37,7 +37,9 @@ except OSError:  # non-Linux fallback: per-boot salt is still safe
     import platform
 
     _feats = platform.processor() + platform.machine()
-_salt = hashlib.md5(_feats.encode()).hexdigest()[:10]
+# sha256: hashlib.md5 raises on FIPS-enforcing builds, which would kill
+# the whole session at conftest import
+_salt = hashlib.sha256(_feats.encode()).hexdigest()[:10]
 jax.config.update(
     "jax_compilation_cache_dir", f"/tmp/wf_cpu_jax_cache_{_salt}"
 )

@@ -130,6 +130,25 @@ def test_multi_row_vmem_gate(monkeypatch):
     assert decode_attn._pick_multi(45, 72, 768, 2) == 0
 
 
+def test_forced_m_override_respects_vmem_budget(monkeypatch):
+    """Regression (ADVICE r3): a WF_DECODE_ATTN_M override that exceeds
+    the per-grid-step VMEM budget must be refused host-side (with a
+    warning), not surface as a Mosaic compile error on-chip."""
+    import warnings
+
+    monkeypatch.setenv("WF_DECODE_ATTN_M", "16")
+    # fits: behaves like before
+    assert decode_attn._pick_multi(128, 48, 768, 2) == 16
+    # over budget at a long cache/large d: refused, with a warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert decode_attn._pick_multi(128, 8192, 1280, 2) == 0
+    assert any("VMEM" in str(x.message) for x in w)
+    # non-divisible row count still refuses quietly
+    monkeypatch.setenv("WF_DECODE_ATTN_M", "7")
+    assert decode_attn._pick_multi(120, 48, 768, 2) == 0
+
+
 def test_decode_loop_with_fused_attn_token_parity(monkeypatch):
     """Flag on vs off: the decode loop produces identical tokens at f32."""
     from whisper_flamingo_tpu import decoding

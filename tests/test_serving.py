@@ -205,6 +205,12 @@ def test_continuous_batcher_validation():
         ContinuousBatcher(model, DecodingOptions(language="en", beam_size=2))
     with pytest.raises(ValueError, match="language"):
         ContinuousBatcher(model, DecodingOptions())
+    # int8kv is rejected outright (ADVICE r3: it used to silently degrade
+    # to plain int8 — the slot cache has no int8 self-cache layout)
+    with pytest.raises(ValueError, match="int8kv"):
+        ContinuousBatcher(
+            model, DecodingOptions(language="en", quantize="int8kv")
+        )
 
 
 def test_batch_transcriber_speculative():

@@ -226,6 +226,39 @@ def test_speculative_int8_composes():
         assert g.tokens == b.tokens
 
 
+def test_speculative_int8kv_composes(monkeypatch):
+    """Regression (ADVICE r3): quantize='int8kv' must actually enable the
+    int8 self cache on the speculative path (it used to degrade to plain
+    int8 via a bool). Token-identity vs plain greedy under the SAME
+    int8kv mode is the speculative guarantee; the per-token quantization
+    scales make the multi-token verify writes identical to greedy's
+    one-token writes."""
+    from whisper_flamingo_tpu import speculative as spec_mod
+
+    # record what the spec program actually asks init_cache for
+    seen = []
+    real_init_cache = spec_mod.init_cache
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs.get("quantize_self", False))
+        return real_init_cache(*args, **kwargs)
+
+    monkeypatch.setattr(spec_mod, "init_cache", spy)
+
+    model, draft = _models()
+    rng = np.random.default_rng(4)
+    mel = rng.standard_normal((2, DIMS.n_mels, 3000)).astype(np.float32) * 0.4
+    opts = DecodingOptions(
+        language="en", fp16=False, sample_len=8, without_timestamps=True,
+        quantize="int8kv",
+    )
+    base = DecodingTask(model, opts).run(mel)
+    got = SpeculativeDecodingTask(model, draft, opts, draft_len=2).run(mel)
+    for b, g in zip(base, got):
+        assert g.tokens == b.tokens
+    assert seen and all(seen), "int8kv did not reach the spec caches"
+
+
 def test_speculative_validation():
     model, draft = _models()
     mel = np.zeros((1, DIMS.n_mels, 3000), np.float32)

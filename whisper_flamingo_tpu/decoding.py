@@ -399,6 +399,19 @@ class DecodingTask:
                 "quantize must be None, 'int8' or 'int8kv', "
                 f"got {options.quantize!r}"
             )
+        if options.quantize == "int8kv" and options.beam_size is None:
+            # measured greedy regression (docs/performance.md): the int8
+            # self cache disables the fused decode-attn kernel, and the
+            # greedy step isn't self-cache-bound — int8kv only pays off
+            # for the many-row beam step
+            import warnings
+
+            warnings.warn(
+                "quantize='int8kv' without beam_size: int8kv is the "
+                "beam-mode serving variant and measures SLOWER than "
+                "'int8' for greedy decoding (docs/performance.md)",
+                stacklevel=3,
+            )
         return options
 
     def _get_initial_tokens(self) -> Tuple[int, ...]:

@@ -63,22 +63,44 @@ def wer_cer(hypo: List[str], ref: List[str]) -> Tuple[float, float]:
 
 
 def fairseq_wer(hypos: List[str], refs: List[str]) -> float:
-    """The published WER protocol (reference demo notebook cell 20):
-    fairseq ``WerScorer`` with the sacrebleu 13a tokenizer, punctuation
-    removed, lowercased."""
-    import string
+    """The published WER protocol (reference demo notebook cell 20:
+    fairseq ``WerScorer(wer_tokenizer="13a", wer_remove_punct=True,
+    wer_char_level=False, wer_lowercase=True)``), as a fraction.
+
+    Order matters and follows fairseq's ``EvaluationTokenizer.tokenize``
+    exactly: sacrebleu 13a tokenization FIRST, then drop every token
+    whose characters are all Unicode-category-P punctuation (punctuation
+    attached to a word — ``it's`` — survives tokenization and is kept),
+    then lowercase. Stripping punctuation characters up front instead
+    merges words across punctuation (``end.start`` -> 1 word instead of
+    2) and mutates contractions (``it's`` -> ``its``) — a different
+    protocol whose scores are not comparable.
+    """
+    import unicodedata
 
     try:
         from sacrebleu.tokenizers.tokenizer_13a import Tokenizer13a
 
         tok = Tokenizer13a()
-    except ImportError:  # degrade to whitespace tokenization
+    except ImportError:
+        # degrading to whitespace tokenization changes the meaning of the
+        # published protocol number — never do it silently
+        import warnings
+
+        warnings.warn(
+            "sacrebleu is unavailable: fairseq_wer is falling back to "
+            "whitespace tokenization, which is NOT the published 13a "
+            "WER protocol — scores are not comparable",
+            stacklevel=2,
+        )
         tok = lambda s: s  # noqa: E731
 
-    table = str.maketrans("", "", string.punctuation)
-
     def prep(s: str) -> List[str]:
-        return tok(s.translate(table).lower()).split()
+        return [
+            t.lower()
+            for t in tok(s).split()
+            if not all(unicodedata.category(c).startswith("P") for c in t)
+        ]
 
     err, total = 0, 0
     for h, r in zip(hypos, refs):

@@ -104,6 +104,18 @@ def _pick_multi(rows: int, cache_len: int, d: int, itemsize: int) -> int:
     forced = os.environ.get("WF_DECODE_ATTN_M")  # probe/A-B override
     if forced:
         m = int(forced)
+        if m * cache_len * d * (6 * itemsize + 8) > _MULTI_VMEM_BYTES:
+            # an over-budget forced m would otherwise surface only as a
+            # Mosaic compile error on-chip; fail the same way the
+            # automatic picker does
+            import warnings
+
+            warnings.warn(
+                f"WF_DECODE_ATTN_M={m} exceeds the per-grid-step VMEM "
+                f"budget at cache_len={cache_len}, d={d}; ignoring the "
+                "override", stacklevel=2,
+            )
+            return 0
         return m if rows % m == 0 else 0
     if not MULTI_ENABLED:
         return 0

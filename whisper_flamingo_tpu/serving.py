@@ -380,6 +380,17 @@ class ContinuousBatcher:
             raise ValueError("continuous batching requires temperature=0")
         if self.options.language is None:
             raise ValueError("continuous batching needs a fixed language")
+        if self.options.quantize == "int8kv":
+            # the slot-major cache (_make_cb_programs) has no int8
+            # self-cache variant; silently degrading to plain int8 would
+            # misreport the serving mode, so reject it outright (int8kv
+            # is the *beam* serving mode anyway — docs/performance.md —
+            # and the batcher is greedy-only)
+            raise ValueError(
+                "continuous batching supports quantize='int8' only; "
+                "'int8kv' (int8 decode self cache) is not implemented "
+                "for the slot cache"
+            )
         if draft_model is not None:
             if draft_model.dims.n_vocab != model.dims.n_vocab:
                 raise ValueError("draft and verifier must share the vocabulary")
@@ -400,7 +411,7 @@ class ContinuousBatcher:
             self._task.compute_dtype,
             self._task.tokenizer.no_speech,
             self._task.sot_index,
-            self.options.quantize in ("int8", "int8kv"),
+            self.options.quantize == "int8",
             dims_d=draft_model.dims if draft_model is not None else None,
             draft_len=draft_len,
         )

@@ -195,25 +195,32 @@ def _make_spec_program(
     dtype,
     no_speech,
     sot_index: int,
-    quantize: bool = False,
+    quantize: Optional[str] = None,
 ):
-    """Jitted prefill + speculative loop for one static configuration."""
+    """Jitted prefill + speculative loop for one static configuration.
+
+    ``quantize`` is the DecodingOptions.quantize mode string ("int8" /
+    "int8kv" / None), plumbed whole — not collapsed to a bool — so
+    "int8kv" actually enables the int8 decode self cache here exactly as
+    it does in the plain decode program (decoding._make_decode_program).
+    """
     K = draft_len
+    quantize_self = quantize == "int8kv"
 
     def prefill_and_loop(params_v, params_d, feats_v, feats_d, init_tokens, rng):
         del rng  # greedy-only: acceptance is exact for argmax
         B, init_len = init_tokens.shape
-        params_vp = prepare_decode_params(params_v, dtype, quantize)
-        params_dp = prepare_decode_params(params_d, dtype, quantize)
+        params_vp = prepare_decode_params(params_v, dtype, bool(quantize))
+        params_dp = prepare_decode_params(params_d, dtype, bool(quantize))
 
         cache_len = max_len + K
         cache_v = init_cache(
             params_vp, dims_v, feats_v, max_len=cache_len, dtype=dtype,
-            quantize=quantize,
+            quantize=bool(quantize), quantize_self=quantize_self,
         )
         cache_d = init_cache(
             params_dp, dims_d, feats_d, max_len=cache_len, dtype=dtype,
-            quantize=quantize,
+            quantize=bool(quantize), quantize_self=quantize_self,
         )
         logits_v, cache_v = decoder_apply(
             params_vp, dims_v, init_tokens, cache=cache_v, offset=0, dtype=dtype
@@ -324,7 +331,7 @@ class SpeculativeDecodingTask(DecodingTask):
             self.compute_dtype,
             self.tokenizer.no_speech,
             self.sot_index,
-            quantize=self.options.quantize in ("int8", "int8kv"),
+            quantize=self.options.quantize,
         )
 
         def call(params, audio_features, init_tokens, rng):
