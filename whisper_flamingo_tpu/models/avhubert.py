@@ -370,7 +370,18 @@ def load_avhubert_torch(state: Dict[str, Any], cfg: VideoEncoderConfig) -> Param
     put(params["blocks"]["mlp"]["fc2"], "b",
         [t(state[f"{prefix}.{i}.fc2.bias"]) for i in range(L)])
 
-    if "encoder.pos_conv.0.weight" in state:
+    if "encoder.pos_conv.0.weight_v" in state:
+        # fairseq wraps pos_conv in nn.utils.weight_norm(..., dim=2), so
+        # real checkpoints ship weight_g (1, 1, K) + weight_v (O, I/g, K)
+        # instead of a plain weight; reconstruct w = v * g / ||v||, with
+        # the norm over all dims except 2 (torch norm_except_dim)
+        v = t(state["encoder.pos_conv.0.weight_v"])
+        g = t(state["encoder.pos_conv.0.weight_g"])
+        norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+        w = v * (g / norm)
+        params["pos_conv"]["w"] = w.transpose(2, 1, 0)  # (O,I/g,K)->(K,I/g,O)
+        params["pos_conv"]["b"] = t(state["encoder.pos_conv.0.bias"])
+    elif "encoder.pos_conv.0.weight" in state:
         # torch conv1d (O, I/g, K) -> (K, I/g, O)
         params["pos_conv"]["w"] = t(state["encoder.pos_conv.0.weight"]).transpose(2, 1, 0)
         params["pos_conv"]["b"] = t(state["encoder.pos_conv.0.bias"])
@@ -379,9 +390,18 @@ def load_avhubert_torch(state: Dict[str, Any], cfg: VideoEncoderConfig) -> Param
         params[ln_key]["scale"] = t(state["encoder.layer_norm.weight"])
         params[ln_key]["bias"] = t(state["encoder.layer_norm.bias"])
 
-    resnet_keys = {
-        k.split("resnet.", 1)[1]: v for k, v in state.items() if "resnet." in k
-    }
+    # real fairseq checkpoints key the visual trunk as
+    # feature_extractor_video.resnet.{frontend3D.*, trunk.layer*} — the
+    # frontend loader wants frontend3D.* + bare layer* (the same shape the
+    # reference's own key surgery produces, resnet.py:143-158)
+    resnet_keys = {}
+    for k, v in state.items():
+        if "resnet." not in k:
+            continue
+        sub = k.split("resnet.", 1)[1]
+        if sub.startswith("trunk."):
+            sub = sub[len("trunk."):]
+        resnet_keys[sub] = v
     if resnet_keys:
         params["frontend"] = load_visual_frontend_torch(resnet_keys)
     if "feature_extractor_video.proj.weight" in state:
