@@ -147,3 +147,28 @@ def test_decode_matrix_noisy_cells_require_noise_file(tmp_path, monkeypatch):
     ])
     with pytest.raises(SystemExit, match="noise_fn_val"):
         _recipe_main("recipes/decode_matrix.py")()
+
+
+def test_eval_table_example(tmp_path, monkeypatch, capsys):
+    """The notebook-equivalent Table-4 flow (examples/eval_table.py vs
+    reference notebooks/whisper_flamingo_demo.ipynb cells 13-31): both
+    systems x {En ASR WER, En-Ru ST BLEU} x {clean, 0 dB babble} on
+    synthetic data, printing the table."""
+    monkeypatch.chdir(ROOT)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "examples/eval_table.py",
+            "--model-type", "debug",
+            "--synthetic", "2",
+            "--batch-size", "2",
+            "--sample-len", "8",
+        ],
+    )
+    _recipe_main("examples/eval_table.py")()
+    out = capsys.readouterr().out
+    assert "Whisper-Flamingo debug (AV)" in out
+    assert "En-Ru ST" in out and "0 dB babble" in out
+    # one metric cell per (system, task, snr): 4 rows x 2 snr columns
+    assert out.count("|") >= 6 * 4
