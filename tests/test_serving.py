@@ -266,3 +266,42 @@ def test_large_v3_mel128_forward():
     assert mel.shape == (128, 300)
     feats = encoder_apply(params, dims, jnp.asarray(mel)[None])
     assert feats.shape == (1, 150, 64)
+
+
+def test_continuous_batcher_warmup_and_dynamic_chunk():
+    """warmup() precompiles every program without disturbing live state,
+    and the runtime-chunk stepper variants (stop_on_finish on/off,
+    different chunk/drain_chunk) all stay token-identical to standalone
+    decodes — the chunk policy is a scheduling knob, never a results
+    knob."""
+    from whisper_flamingo_tpu.audio import N_SAMPLES, log_mel_spectrogram, pad_or_trim
+    from whisper_flamingo_tpu.decoding import DecodingTask
+    from whisper_flamingo_tpu.serving import ContinuousBatcher
+
+    model = load_model("debug")
+    opts = DecodingOptions(
+        language="en", without_timestamps=True, sample_len=10, fp16=False
+    )
+    rng = np.random.default_rng(11)
+    waves = [rng.standard_normal(16000 * (i % 2 + 1)).astype(np.float32) * 0.2
+             for i in range(5)]
+
+    task = DecodingTask(model, opts)
+    refs = []
+    for w in waves:
+        mel = log_mel_spectrogram(
+            np.asarray(pad_or_trim(w, N_SAMPLES))[None], n_mels=model.dims.n_mels
+        )
+        refs.append(task.run(mel)[0].tokens)
+
+    for kwargs in (
+        {"chunk": 3, "stop_on_finish": True},
+        {"chunk": 3, "stop_on_finish": False},
+        {"chunk": 2, "drain_chunk": 16},
+    ):
+        cb = ContinuousBatcher(model, options=opts, slots=2, **kwargs)
+        cb.warmup()
+        assert all(r < 0 for r in cb._slot_req), "warmup must not occupy slots"
+        got = cb.transcribe_segments(waves)
+        for i in range(len(waves)):
+            assert got[i].tokens == refs[i], (kwargs, i)

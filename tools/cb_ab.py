@@ -85,20 +85,34 @@ def main():
     print(f"traffic: {n_req} req, budgets {lo}-{hi} (total {total_tokens} tok)")
     print(f"padded     ({slots}/batch, {hi} tok each): {t_pad:6.2f}s "
           f"{audio_s / t_pad:7.1f}x RT  {n_req * hi / t_pad:6.0f} tok/s decoded")
-    for chunk, pipeline in [(8, False), (8, True), (16, True), (24, True)]:
+    variants = [
+        # (chunk, pipeline, stop_on_finish, drain_chunk)
+        (8, False, False, 8),     # r3 sync baseline
+        (8, True, False, 8),      # r3 pipelined
+        (16, True, False, 16),    # r3 shipped default (fixed chunk)
+        (24, True, False, 24),
+        (16, True, True, 64),     # r4: stop-on-finish + drain
+        (8, True, True, 64),
+        (4, True, True, 96),
+    ]
+    for chunk, pipeline, stop, drain in variants:
         cb = ContinuousBatcher(
             model, options=DecodingOptions(sample_len=hi, **opts),
             slots=slots, chunk=chunk, pipeline=pipeline,
+            stop_on_finish=stop, drain_chunk=drain,
         )
-        # full untimed pass first: exercises every refill bucket, so the
-        # timed pass is warm (per-process persistent-cache LOADS of the
-        # step program cost ~5 s here and would otherwise land mid-leg)
+        # warmup + a full untimed pass first: exercises every refill
+        # bucket, so the timed pass is warm (per-process persistent-cache
+        # LOADS of the step program cost ~5 s and would otherwise land
+        # mid-leg)
+        cb.warmup()
         cb.transcribe_segments(req_mels, max_tokens=budgets)
         t0 = time.perf_counter()
         out = cb.transcribe_segments(req_mels, max_tokens=budgets)
         t_cb = time.perf_counter() - t0
         got_tokens = sum(len(r.tokens) for r in out)
-        tag = f"chunk={chunk:2d} pipeline={int(pipeline)}"
+        tag = (f"chunk={chunk:2d} pipe={int(pipeline)} "
+               f"stop={int(stop)} drain={drain:2d}")
         print(f"continuous ({tag})       : {t_cb:6.2f}s "
               f"{audio_s / t_cb:7.1f}x RT  {got_tokens / t_cb:6.0f} useful tok/s"
               f"  ({t_pad / t_cb:.2f}x vs padded)")

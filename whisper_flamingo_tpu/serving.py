@@ -122,7 +122,7 @@ class BatchTranscriber:
 
 
 @lru_cache(maxsize=None)
-def _make_cb_programs(dims, cfg, eot, max_len, chunk, dtype, no_speech,
+def _make_cb_programs(dims, cfg, eot, max_len, dtype, no_speech,
                       sot_index, quantize, dims_d=None, draft_len=4):
     """Compiled pieces of the continuous batcher (one set per static
     configuration): ``prep`` (one-time param transform), ``prefill``
@@ -130,9 +130,9 @@ def _make_cb_programs(dims, cfg, eot, max_len, chunk, dtype, no_speech,
     one dispatch, not one per request), ``splice`` (scatter k rows into
     the batch state at given slots, donated/in-place; out-of-range slot
     indices drop, so bucket-padding rows are inert), ``step`` (advance
-    every slot up to ``chunk`` tokens at per-row offsets, donated; also
-    returns compact aux copies of the host-visible row state so one
-    fetch per poll harvests everything), ``empty_state``.
+    every slot up to a RUNTIME number of tokens at per-row offsets,
+    donated; also returns compact aux copies of the host-visible row
+    state so one fetch per poll harvests everything), ``empty_state``.
 
     With ``dims_d`` (a draft model) the stepper runs speculative rounds
     (``speculative.make_spec_round``) instead of single greedy steps —
@@ -292,14 +292,28 @@ def _make_cb_programs(dims, cfg, eot, max_len, chunk, dtype, no_speech,
         from .speculative import make_spec_round
 
         round_fn = make_spec_round(dims, dims_d, cfg, eot, K, dtype)
-        n_iters = max(1, -(-chunk // (K + 1)))
-    else:
-        n_iters = chunk
 
-    def step(params_v, state, params_d=None):
+    def step(params_v, state, iters, stop_on_finish, params_d=None):
+        """Advance every slot by up to ``iters`` loop iterations.
+
+        ``iters`` is a RUNTIME scalar (token steps, or spec rounds when a
+        draft runs): the chunk length costs no retrace/recompile, so the
+        host can shorten chunks under queue pressure and lengthen them to
+        amortize dispatch in the drain phase. ``stop_on_finish`` (runtime
+        bool) ends the chunk as soon as any slot newly finishes — set
+        when requests are queued, so a freed slot refills after this
+        dispatch instead of idling out the rest of a fixed chunk
+        (the chunk-granularity head-of-line cost, docs/performance.md)."""
+        entry_finished = state["finished"]
+
         def cond(c):
             s2, i = c
-            return (i < n_iters) & jnp.any(~s2["finished"])
+            newly = jnp.any(s2["finished"] & ~entry_finished)
+            return (
+                (i < iters)
+                & jnp.any(~s2["finished"])
+                & ~(stop_on_finish & newly)
+            )
 
         def body(c):
             s2, i = c
@@ -358,14 +372,22 @@ class ContinuousBatcher:
     state in ONE device fetch, and ``pipeline=True`` (default) fetches
     step k-1's results while step k runs, hiding the device round trip
     behind compute at the cost of finished slots idling one chunk before
-    refill. Defaults (chunk=16, pipeline) measure 1.28x padded-batching
-    throughput on realistic variable-length traffic; flip
-    ``pipeline=False`` for freshest-result streaming semantics.
+    refill. The chunk length is a RUNTIME argument of one compiled
+    stepper (no per-chunk-config program): under queue pressure the
+    stepper runs ``chunk``-token chunks and (``stop_on_finish``,
+    default) ends a chunk the moment any slot newly finishes so the
+    freed slot refills next poll instead of idling out the chunk; with
+    an empty queue it switches to ``drain_chunk`` (default 4x) to
+    amortize the dispatch round trip. Call :meth:`warmup` to pay the
+    one-time program loads before traffic. Flip ``pipeline=False`` for
+    freshest-result streaming semantics.
     """
 
     def __init__(self, model, options: Optional[DecodingOptions] = None,
                  slots: int = 8, chunk: int = 16, draft_model=None,
-                 draft_len: int = 4, pipeline: bool = True):
+                 draft_len: int = 4, pipeline: bool = True,
+                 stop_on_finish: bool = True,
+                 drain_chunk: Optional[int] = None):
         from .decoding import DecodingTask
 
         self.model = model
@@ -398,6 +420,10 @@ class ContinuousBatcher:
                 raise ValueError("draft and verifier must share the mel frontend")
         self.slots = slots
         self.chunk = chunk
+        # queue-empty drain phase: nothing to refill, so amortize the
+        # dispatch/fetch round trip over longer chunks
+        self.drain_chunk = drain_chunk if drain_chunk is not None else 4 * chunk
+        self.stop_on_finish = stop_on_finish
         self.pipeline = pipeline
         # borrow DecodingTask's option plumbing (initial tokens, filter
         # config, max_len) without running its compiled program
@@ -407,7 +433,6 @@ class ContinuousBatcher:
             self._task.filter_cfg,
             self._task.tokenizer.eot,
             self._task.max_len,
-            chunk,
             self._task.compute_dtype,
             self._task.tokenizer.no_speech,
             self._task.sot_index,
@@ -543,16 +568,55 @@ class ContinuousBatcher:
         return done
 
     def _dispatch_step(self):
-        if self.draft_model is not None:
-            self._state, aux_i, aux_f = self._programs["step"](
-                self._prep(), self._state, params_d=self._prepped_d
-            )
+        import jax.numpy as jnp
+
+        # queued work: short chunks + end the chunk on the first finish,
+        # so freed slots refill promptly. Empty queue: long drain chunks
+        # (chunk length is a runtime arg — no retrace either way).
+        queued = bool(self._queue)
+        tokens = self.chunk if queued else self.drain_chunk
+        if self.draft_model is not None:  # iters counts spec rounds
+            iters = max(1, -(-tokens // (self.draft_len + 1)))
         else:
-            self._state, aux_i, aux_f = self._programs["step"](
-                self._prep(), self._state
-            )
+            iters = tokens
+        stop = self.stop_on_finish and queued
+        kw = {"params_d": self._prepped_d} if self.draft_model is not None else {}
+        self._state, aux_i, aux_f = self._programs["step"](
+            self._prep(), self._state, jnp.asarray(iters, jnp.int32),
+            jnp.asarray(stop), **kw
+        )
         self._poll_n += 1
         return (self._poll_n - 1, aux_i, aux_f)
+
+    def warmup(self) -> None:
+        """Compile/load every program ahead of traffic: the stepper alone
+        is a ~5 s cold persistent-cache load through the remote tunnel
+        (docs/performance.md) — paid here instead of on the first poll.
+        Covers prep, every prefill bucket (1, 2, 4, ... slots), splice,
+        and one throwaway stepper dispatch (the stepper donates its
+        state, so it runs on a scratch state, not the live one)."""
+        import jax.numpy as jnp
+
+        self._ensure_state()
+        self._prep()
+        k = 1
+        while True:
+            silence = [(np.zeros(16000, np.float32), 1)] * k
+            rows = self._prefill_many(silence)
+            if k == 1:  # one splice warm-up (drop-scatter at out-of-range)
+                self._state = self._programs["splice"](
+                    self._state, rows, jnp.full((rows["lens"].shape[0],),
+                                                self.slots, jnp.int32)
+                )
+            if k >= self.slots:
+                break
+            k = min(2 * k, self.slots)
+        scratch = self._programs["empty_state"](self.slots)
+        kw = {"params_d": self._prepped_d} if self.draft_model is not None else {}
+        self._programs["step"](
+            self._prep(), scratch, jnp.asarray(1, jnp.int32),
+            jnp.asarray(False), **kw
+        )
 
     def poll(self) -> List[tuple]:
         """Advance all slots one chunk; returns [(request_id, result)]
