@@ -1,0 +1,184 @@
+"""Measured speculative decoding with a TRAINED draft/verifier pair.
+
+`tools/spec_ab.py` measures the component costs and the full-acceptance
+bound (draft == verifier); this tool closes the remaining gap between
+*projected* and *measured* speedup: it mints a real model pair by
+overfitting the verifier and the draft on one shared synthetic corpus
+(the zero-egress stand-in for a released pair), snapshots the draft at
+several teacher-forced-accuracy levels, and measures — per snapshot —
+the actual per-token acceptance rate and the end-to-end wall-clock
+speedup of `SpeculativeDecodingTask` over plain greedy on the same
+batch, same session. Outputs are also checked token-identical (the
+speculative guarantee) at every acceptance level.
+
+Usage: python tools/spec_train_ab.py [verifier] [draft] [n_utts] [max_steps]
+       # defaults: tiny debug 12 600 (CPU-runnable);
+       # the flagship measurement: small tiny / large-v2 tiny on-chip
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+WORDS = ("the quick brown fox jumps over a lazy dog while rain falls on "
+         "green hills and boats cross the wide river before dawn light "
+         "touches every tall tower in the old town square").split()
+
+
+def build_corpus(tokenizer, n_utts, rng):
+    """n seeded (wave, dec_input_ids, labels) with real-text targets."""
+    sot = list(tokenizer.sot_sequence_including_notimestamps)
+    rows = []
+    for _ in range(n_utts):
+        wave = (rng.standard_normal(16000 * int(rng.integers(3, 9)))
+                .astype(np.float32) * 0.08)
+        n_words = int(rng.integers(6, 14))
+        text = " " + " ".join(rng.choice(WORDS) for _ in range(n_words))
+        toks = tokenizer.encode(text)
+        dec = sot + toks
+        lab = dec[1:] + [tokenizer.eot]
+        rows.append((wave, dec, lab))
+    return rows
+
+
+def batchify(rows, eot):
+    L = max(len(d) for _, d, _ in rows)
+    dec = np.full((len(rows), L), eot, np.int32)
+    lab = np.full((len(rows), L), -100, np.int32)
+    for i, (_, d, l) in enumerate(rows):
+        dec[i, : len(d)] = d
+        lab[i, : len(l)] = l
+    return dec, lab
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/wf_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from whisper_flamingo_tpu.audio import N_SAMPLES, log_mel_spectrogram, pad_or_trim
+    from whisper_flamingo_tpu.decoding import DecodingOptions, DecodingTask
+    from whisper_flamingo_tpu.models.dims import MODEL_DIMS
+    from whisper_flamingo_tpu.models.whisper import (
+        Whisper,
+        decoder_apply,
+        encoder_apply,
+        init_params,
+    )
+    from whisper_flamingo_tpu.speculative import SpeculativeDecodingTask
+    from whisper_flamingo_tpu.tokenizer import get_tokenizer
+    from whisper_flamingo_tpu.training.steps import TrainState, make_ce_train_step
+
+    import optax
+
+    v_name = sys.argv[1] if len(sys.argv) > 1 else "tiny"
+    d_name = sys.argv[2] if len(sys.argv) > 2 else "debug"
+    n_utts = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+    max_steps = int(sys.argv[4]) if len(sys.argv) > 4 else 600
+    K = 4
+
+    tokenizer = get_tokenizer(True, language="en", task="transcribe")
+    rng = np.random.default_rng(0)
+    rows = build_corpus(tokenizer, n_utts, rng)
+    dims_v, dims_d = MODEL_DIMS[v_name], MODEL_DIMS[d_name]
+    mels = log_mel_spectrogram(
+        np.stack([np.asarray(pad_or_trim(w, N_SAMPLES)) for w, _, _ in rows]),
+        n_mels=dims_v.n_mels,
+    )
+    dec, lab = batchify(rows, tokenizer.eot)
+    batch = {"input_ids": np.asarray(mels), "dec_input_ids": dec, "labels": lab}
+    audio_s = n_utts * 30.0
+    max_txt = dec.shape[1]
+
+    def accuracy_fn(dims):
+        @jax.jit
+        def acc(params, mel, dec, lab):
+            feats = encoder_apply(params, dims, mel, dtype=jnp.float32)
+            logits, _ = decoder_apply(params, dims, dec, feats, dtype=jnp.float32)
+            hit = (jnp.argmax(logits, -1) == lab) & (lab != -100)
+            return jnp.sum(hit) / jnp.sum(lab != -100)
+
+        return acc
+
+    def train(name, dims, thresholds):
+        """Overfit; returns {threshold: params_snapshot} + final params."""
+        params = init_params(jax.random.PRNGKey(hash(name) % 2**31), dims)
+        tx = optax.adamw(1e-3, weight_decay=0.0)
+        step = make_ce_train_step(
+            dims, tx, freeze_encoder=False, use_xt=False,
+            dtype=jnp.float32, remat=False, donate=False,
+        )
+        acc_fn = accuracy_fn(dims)
+        state = TrainState.create(params, tx)
+        snaps, remaining = {}, sorted(thresholds)
+        t0 = time.perf_counter()
+        for i in range(max_steps):
+            state, metrics = step(state, batch)
+            if (i + 1) % 20 == 0 or i == max_steps - 1:
+                a = float(acc_fn(state.params, batch["input_ids"],
+                                 batch["dec_input_ids"], batch["labels"]))
+                print(f"  {name} step {i+1}: loss={float(metrics['loss']):.3f} "
+                      f"teacher-forced acc={a:.3f}", flush=True)
+                while remaining and a >= remaining[0]:
+                    snaps[remaining.pop(0)] = jax.device_get(state.params)
+                if not remaining:
+                    break
+        print(f"  {name} trained in {time.perf_counter() - t0:.0f}s")
+        return snaps
+
+    print(f"corpus: {n_utts} utts, verifier={v_name}, draft={d_name}, K={K}")
+    v_snaps = train("verifier", dims_v, [0.999])
+    if 0.999 not in v_snaps:
+        raise SystemExit("verifier failed to overfit (raise max_steps)")
+    d_snaps = train("draft", dims_d, [0.5, 0.8, 0.999])
+
+    verifier = Whisper(dims=dims_v, params=v_snaps[0.999], dtype=jnp.bfloat16)
+    opts = DecodingOptions(language="en", without_timestamps=True,
+                           fp16=True, sample_len=max_txt + 8)
+
+    def timed(task, mel, iters=5):
+        task.run(mel)  # compile + warm
+        best, out = float("inf"), None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = task.run(mel)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best, out
+
+    greedy = DecodingTask(verifier, opts)
+    t_g, base = timed(greedy, mels)
+    base_toks = [r.tokens for r in base]
+    n_tok = sum(len(t) + 1 for t in base_toks)
+    print(f"\ngreedy {v_name}: {t_g:.3f}s/batch  {audio_s / t_g:.0f}x RT "
+          f"({n_tok} tokens)")
+
+    print(f"{'draft acc':>10} {'accept/tok':>10} {'tok/round':>10} "
+          f"{'wall':>8} {'xRT':>8} {'speedup':>8} match")
+    for level in sorted(d_snaps):
+        draft = Whisper(dims=dims_d, params=d_snaps[level], dtype=jnp.bfloat16)
+        task = SpeculativeDecodingTask(verifier, draft, opts, draft_len=K)
+        t_s, out = timed(task, mels)
+        stats = {k: float(v) for k, v in task.last_stats.items()}
+        rounds = max(stats["rounds"], 1.0)
+        tok_round = stats["accepted_tokens"] / (rounds * n_utts)
+        # accepted_tokens counts (prefix + bonus) per row per round;
+        # drafted per row per round is K
+        acc_rate = max(0.0, (stats["accepted_tokens"] / n_utts - rounds)
+                       / (rounds * K))
+        match = all(r.tokens == b for r, b in zip(out, base_toks))
+        print(f"{level:>10.3f} {acc_rate:>10.2f} {tok_round:>10.2f} "
+              f"{t_s:>7.3f}s {audio_s / t_s:>7.0f}x {t_g / t_s:>7.2f}x "
+              f"{match}")
+        if not match:
+            raise SystemExit("speculative output diverged from greedy!")
+
+
+if __name__ == "__main__":
+    main()
