@@ -249,3 +249,25 @@ def test_audio_features_retention_policy(models, mel):
         assert isinstance(r.audio_features, np.ndarray)
         assert not isinstance(r.audio_features, jax.Array)
         assert r.audio_features.shape == (d.n_audio_ctx, d.n_audio_state)
+
+
+def test_beam_fused_reorder_flag_equivalence(models, mel):
+    """decoding.FUSE_REORDER (in-scan cache permutation) vs the
+    standalone reorder pass: bit-exact same contraction, so tokens and
+    scores must match exactly at both flag values."""
+    from whisper_flamingo_tpu import decoding
+
+    _, ours = models
+    kw = dict(language="en", sample_len=10, beam_size=3, without_timestamps=True)
+    assert decoding.FUSE_REORDER  # shipped default
+    base = _our_decode(ours, mel, **kw)
+    decoding.FUSE_REORDER = False
+    decoding._make_decode_program.cache_clear()
+    try:
+        unfused = _our_decode(ours, mel, **kw)
+    finally:
+        decoding.FUSE_REORDER = True
+        decoding._make_decode_program.cache_clear()
+    for b, u in zip(base, unfused):
+        assert b.tokens == u.tokens
+        assert np.isclose(b.avg_logprob, u.avg_logprob, atol=1e-6)

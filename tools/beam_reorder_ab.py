@@ -54,8 +54,9 @@ def main():
     audio = rng.standard_normal((batch, 480_000)).astype(np.float32) * 0.05
     mel = log_mel_spectrogram(audio)
 
-    def measure(reorder, selector):
+    def measure(reorder, selector, fuse=False):
         decoding.REORDER = reorder
+        decoding.FUSE_REORDER = fuse
         W.SELECTOR_SELF = selector
         decoding._make_decode_program.cache_clear()
         task = DecodingTask(
@@ -79,21 +80,23 @@ def main():
         return batch * 30.0 / best, toks0
 
     legs = [
-        ("gather + split (r2 baseline)", "gather", False),
-        ("matmul reorder", "matmul", False),
-        ("selector self-attn", "gather", True),
-        ("matmul + selector", "matmul", True),
-        ("baseline again (drift)", "gather", False),
+        ("gather + split (r2 baseline)", "gather", False, False),
+        ("matmul reorder", "matmul", False, False),
+        ("selector self-attn", "gather", True, False),
+        ("matmul + selector (r3 ship)", "matmul", True, False),
+        ("in-scan fused reorder (r4)", "matmul", True, True),
+        ("r3 ship again (drift)", "matmul", True, False),
     ]
     toks_ref = None
-    for tag, reorder, selector in legs:
-        rtf, toks = measure(reorder, selector)
+    for tag, reorder, selector, fuse in legs:
+        rtf, toks = measure(reorder, selector, fuse)
         if toks_ref is None:
             toks_ref = toks
         match = "tokens==base" if toks == toks_ref else "TOKENS DIFFER"
         print(f"{model_name} beam{beam} {tag:32s} {rtf:7.1f}x RT  [{match}]",
               flush=True)
     decoding.REORDER = "matmul"
+    decoding.FUSE_REORDER = True
     W.SELECTOR_SELF = True
 
 

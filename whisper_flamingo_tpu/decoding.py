@@ -700,6 +700,13 @@ def _beam_topk(logprobs, k: int):
 # layouts on both sides, bit-exact (each output row is one value plus
 # zeros). Flag kept for the A/B (tools/beam_reorder_ab.py).
 REORDER = "matmul"
+# Fuse the reorder into decoder_apply's layer scan (row_perm): the scan
+# restacks every self-cache slab each step anyway, so permuting the
+# layer slice in-scan deletes the standalone full-cache read+write pass
+# (0.97 ms/step at small beam-15 x b8, ~its bytes floor — the largest
+# single item left in the r3 beam retrace). Bit-exact same contraction.
+# Module-level for the on-chip A/B (tools/beam_reorder_ab.py).
+FUSE_REORDER = True
 
 
 def _reorder_beam_cache(cache, src_global):
@@ -967,7 +974,15 @@ def _make_decode_program(
                 (0, state["cur_len"]),
             )
             sum_logprobs = sel_scores.reshape(-1)
-            cache = _reorder_beam_cache(state["cache"], src_global)
+            if FUSE_REORDER:
+                # defer the self-cache reorder into decoder_apply's layer
+                # scan (models/whisper.py row_perm): the scan restacks
+                # every slab anyway, so the permutation rides the restack
+                # instead of paying its own full-cache read+write pass
+                cache, row_perm = state["cache"], src_global
+            else:
+                cache = _reorder_beam_cache(state["cache"], src_global)
+                row_perm = None
 
             # -- newly finished sequences -> fixed-capacity buffer --
             eligible = s_is_eot & (nonterm_rank < G)
@@ -1022,6 +1037,7 @@ def _make_decode_program(
                 offset=cur_len - 1,
                 dtype=dtype,
                 sequential_xt=sequential_xt,
+                row_perm=row_perm,
             )
             return dict(
                 state,

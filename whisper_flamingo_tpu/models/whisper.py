@@ -547,6 +547,7 @@ def decoder_apply(
     remat=False,
     return_cross_qk: bool = False,
     sequential_xt: bool = False,
+    row_perm: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     """tokens (B, T) [+ audio features (B, Ta, D)] -> logits (B, T, V).
 
@@ -561,6 +562,17 @@ def decoder_apply(
     (L, B, H, T, Ta) instead of a cache — the TPU-native equivalent of
     the reference's forward hooks for DTW word timing
     (reference timing.py:185-210).
+
+    ``row_perm`` (cache path): a (rows,) source-row index applied to the
+    SELF cache slabs per layer inside the scan — the beam search's
+    ``rearrange_kv_cache`` (reference decoding.py:173-180) fused into
+    the layer loop. The scan already reads each layer slice and restacks
+    the updated cache every step; permuting the slice in-scan (the same
+    bit-exact one-hot contraction as ``decoding._reorder_beam_cache``)
+    makes the restack write the *reordered* slab, deleting the separate
+    full-cache read+write reorder pass (~0.97 ms/step at beam-15 x b8,
+    docs/performance.md). The audio/conditioning K/V are beam-shared and
+    never permuted.
 
     Parity: reference model.py:292-340.
     """
@@ -630,12 +642,36 @@ def decoder_apply(
         # scales written each step (init_cache(quantize_self=True))
         quantized_self = "k_s" in cache
 
+        if row_perm is not None:
+            rows = cache["k"].shape[1]
+            # one one-hot per slab dtype, built OUTSIDE the scan; the
+            # per-layer contraction is bit-exact (each output row sums
+            # one value plus zeros) — see decoding._reorder_beam_cache
+            perm_dtypes = {cache["k"].dtype}
+            if quantized_self:
+                perm_dtypes.add(cache["k_s"].dtype)
+            perm_onehots = {
+                dt: jax.nn.one_hot(row_perm, rows, dtype=dt, axis=-1)
+                for dt in perm_dtypes
+            }
+
+            def _permute_rows(slab):
+                acc = jnp.int32 if slab.dtype == jnp.int8 else slab.dtype
+                return jnp.einsum(
+                    "gs,s...->g...", perm_onehots[slab.dtype], slab,
+                    preferred_element_type=acc,
+                ).astype(slab.dtype)
+
         def block_fn(x, layer_in):
             bp, self_kv_l, xa_kv_l, xt_kv_l = layer_in
             if quantized_self:
                 k_l, v_l, k_s_l, v_s_l = self_kv_l
             else:
                 (k_l, v_l), k_s_l, v_s_l = self_kv_l, None, None
+            if row_perm is not None:
+                k_l, v_l = _permute_rows(k_l), _permute_rows(v_l)
+                if quantized_self:
+                    k_s_l, v_s_l = _permute_rows(k_s_l), _permute_rows(v_s_l)
             if quantized:
                 xa_k_l, xa_v_l, xa_ks_l, xa_vs_l = xa_kv_l
             else:
