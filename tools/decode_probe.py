@@ -156,9 +156,14 @@ def main():
             )
             return logprobs[:, :k], idx
 
+        # the reorder ablation must neutralize BOTH lowerings: the
+        # standalone pass (FUSE_REORDER=False) and the in-scan row_perm
+        # (FUSE_REORDER=True, r4 default) — force the standalone path
+        # and identity it, so "no cache reorder" means no reorder at all
         ablations += [
             ("no cache reorder",
-             {D: {"_reorder_beam_cache": lambda cache, src: cache}}),
+             {D: {"_reorder_beam_cache": lambda cache, src: cache,
+                  "FUSE_REORDER": False}}),
             ("no top_k", {D: {"_beam_topk": fake_topk}}),
             ("no filters", {D: {"_apply_filters": eot_only}}),
         ]
@@ -176,6 +181,7 @@ def main():
             "cached_selector_attention": W.cached_selector_attention,
             "mlp_block": orig_mlp},
         D: {"_reorder_beam_cache": D._reorder_beam_cache,
+            "FUSE_REORDER": D.FUSE_REORDER,
             "_beam_topk": D._beam_topk,
             "_apply_filters": D._apply_filters},
     }
