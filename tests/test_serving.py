@@ -158,6 +158,66 @@ def test_continuous_batcher_speculative_slots():
         assert got[i].tokens == ref.tokens, f"request {i}"
 
 
+def test_continuous_batcher_pooled_device_refill():
+    """run_queued (device-side refill: ONE compiled program decodes the
+    whole pool, refilling slots from a device-resident pool inside its
+    loop) matches per-utterance greedy decodes token-for-token — with
+    more requests than slots so pool refills genuinely happen in-loop,
+    and per-request caps so rows finish at different steps."""
+    from whisper_flamingo_tpu.audio import N_SAMPLES, log_mel_spectrogram, pad_or_trim
+    from whisper_flamingo_tpu.decoding import DecodingTask
+    from whisper_flamingo_tpu.serving import ContinuousBatcher
+
+    model = load_model("debug")
+    opts = DecodingOptions(
+        language="en", without_timestamps=True, sample_len=10, fp16=False
+    )
+    rng = np.random.default_rng(5)
+    waves = [rng.standard_normal(16000 * (i % 3 + 1)).astype(np.float32) * 0.2
+             for i in range(7)]
+    caps = [10, 3, 7, 10, 2, 10, 5]
+
+    cb = ContinuousBatcher(model, options=opts, slots=3)
+    got = cb.transcribe_segments(waves, max_tokens=caps, pooled=True)
+
+    task = DecodingTask(model, opts)
+    for i, w in enumerate(waves):
+        mel = log_mel_spectrogram(
+            np.asarray(pad_or_trim(w, N_SAMPLES))[None],
+            n_mels=model.dims.n_mels,
+        )
+        ref = task.run(mel)[0]
+        want = ref.tokens[:caps[i]]
+        assert got[i].tokens == want, f"request {i}"
+        assert abs(got[i].no_speech_prob - ref.no_speech_prob) < 1e-5
+
+    # pool_cap splits the queue into waves; results are unchanged
+    cb2 = ContinuousBatcher(model, options=opts, slots=3)
+    again = cb2.transcribe_segments(waves, max_tokens=caps, pooled=True,
+                                    pool_cap=4)
+    assert [r.tokens for r in again] == [r.tokens for r in got]
+
+
+def test_continuous_batcher_pooled_speculative():
+    """Device-side refill composes with speculative slot stepping."""
+    from whisper_flamingo_tpu.serving import ContinuousBatcher
+
+    model = load_model("debug")
+    opts = DecodingOptions(
+        language="en", without_timestamps=True, sample_len=8, fp16=False
+    )
+    rng = np.random.default_rng(12)
+    waves = [rng.standard_normal(16000 * (i % 2 + 1)).astype(np.float32) * 0.2
+             for i in range(5)]
+    plain = ContinuousBatcher(model, options=opts, slots=2).transcribe_segments(
+        waves
+    )
+    spec = ContinuousBatcher(
+        model, options=opts, slots=2, draft_model=model, draft_len=2
+    ).transcribe_segments(waves, pooled=True)
+    assert [r.tokens for r in spec] == [r.tokens for r in plain]
+
+
 def test_continuous_batcher_per_request_caps():
     """max_tokens caps each request's generated length independently."""
     from whisper_flamingo_tpu.serving import ContinuousBatcher

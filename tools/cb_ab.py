@@ -116,6 +116,20 @@ def main():
         print(f"continuous ({tag})       : {t_cb:6.2f}s "
               f"{audio_s / t_cb:7.1f}x RT  {got_tokens / t_cb:6.0f} useful tok/s"
               f"  ({t_pad / t_cb:.2f}x vs padded)")
+    # --- r4: device-side refill (run_queued pooled mode) ---
+    # one prefill dispatch + ONE compiled program for the whole traffic:
+    # slots refill from a device-resident pool inside the decode loop
+    cb = ContinuousBatcher(
+        model, options=DecodingOptions(sample_len=hi, **opts), slots=slots,
+    )
+    cb.transcribe_segments(req_mels, max_tokens=budgets, pooled=True)  # warm
+    t0 = time.perf_counter()
+    out = cb.transcribe_segments(req_mels, max_tokens=budgets, pooled=True)
+    t_cb = time.perf_counter() - t0
+    got_tokens = sum(len(r.tokens) for r in out)
+    print(f"continuous (POOLED device-side refill)             : {t_cb:6.2f}s "
+          f"{audio_s / t_cb:7.1f}x RT  {got_tokens / t_cb:6.0f} useful tok/s"
+          f"  ({t_pad / t_cb:.2f}x vs padded)")
     print(f"ideal = {n_req * hi / total_tokens:.2f}x at zero refill/latency "
           f"overhead")
 

@@ -127,10 +127,10 @@ def main():
     def no_xa(q, kT, vT, n_head, k_scale=None, v_scale=None):
         return jnp.zeros_like(q)  # skip the slab read entirely
 
-    def no_self(q, k, v, n_head, mask=None):
+    def no_self(q, k, v, n_head, mask=None, k_scale=None, v_scale=None):
         return jnp.zeros_like(q)  # skip self-cache read+update use
 
-    def no_self_sel(q, k, v, n_head, mask=None):
+    def no_self_sel(q, k, v, n_head, mask=None, k_scale=None, v_scale=None):
         return jnp.zeros_like(q)
 
     ablations = [

@@ -338,11 +338,104 @@ def _make_cb_programs(dims, cfg, eot, max_len, dtype, no_speech,
         )
         return state, aux_i, aux_f
 
+    def run_pooled(params_v, pool, state, n_req, params_d=None):
+        """Decode an entire admitted request pool in ONE dispatch.
+
+        ``pool`` is a prefilled row fragment (the ``prefill`` output) with
+        leading dim P (a static pool bucket; rows >= ``n_req`` are inert
+        padding); ``state`` an ``empty_state``. The while_loop interleaves
+        the greedy/speculative step with DEVICE-SIDE refill: each
+        iteration scans the slots, and any finished slot with pool rows
+        remaining (a) scatters its occupant's tokens/length/scores into
+        the (P, ...) output buffers and (b) splices the next pool row in —
+        so refill costs zero host round trips and zero idle chunk tails
+        (the chunk-granularity head-of-line cost of the polled stepper,
+        measured in docs/performance.md). Host traffic for the whole
+        pool: one prefill dispatch, one run_pooled dispatch, one fetch.
+
+        Slot occupancy rides ``slot_req`` (pool-row index per slot; the
+        sentinel P means empty and makes every output scatter drop).
+        """
+        slots = state["lens"].shape[0]
+        P = pool["lens"].shape[0]
+        state = dict(
+            state,
+            slot_req=jnp.full((slots,), P, jnp.int32),
+            next_idx=jnp.asarray(0, jnp.int32),
+            out_tokens=jnp.full((P, buf_w), eot, jnp.int32),
+            out_lens=jnp.zeros((P,), jnp.int32),
+            out_lp=jnp.zeros((P,), jnp.float32),
+            out_nsp=jnp.zeros((P,), jnp.float32),
+        )
+
+        def _harvest_into(st, s):
+            """Scatter slot s's row state into the output buffers at its
+            pool-row id (the P sentinel drops)."""
+            rid = st["slot_req"][s]
+            return dict(
+                st,
+                out_tokens=st["out_tokens"].at[rid].set(
+                    st["tokens"][s], mode="drop"),
+                out_lens=st["out_lens"].at[rid].set(
+                    st["lens"][s], mode="drop"),
+                out_lp=st["out_lp"].at[rid].set(
+                    st["sum_logprobs"][s], mode="drop"),
+                out_nsp=st["out_nsp"].at[rid].set(
+                    st["no_speech_probs"][s], mode="drop"),
+            )
+
+        def _splice_from_pool(st, s):
+            """Harvest slot s, then splice pool row ``next_idx`` into it."""
+            st = _harvest_into(st, s)
+            nxt = st["next_idx"]
+            out = dict(
+                st,
+                tokens=st["tokens"].at[s].set(pool["tokens"][nxt]),
+                lens=st["lens"].at[s].set(pool["lens"][nxt]),
+                caps=st["caps"].at[s].set(pool["caps"][nxt]),
+                finished=st["finished"].at[s].set(pool["finished"][nxt]),
+                sum_logprobs=st["sum_logprobs"].at[s].set(
+                    pool["sum_logprobs"][nxt]),
+                no_speech_probs=st["no_speech_probs"].at[s].set(
+                    pool["no_speech_probs"][nxt]),
+                slot_req=st["slot_req"].at[s].set(nxt),
+                next_idx=nxt + 1,
+            )
+            for ck in ("cache_v", "cache_d") if spec else ("cache_v",):
+                cache = dict(st[ck])
+                for key in cache:
+                    cache[key] = st[ck][key].at[:, s].set(pool[ck][key][:, nxt])
+                out[ck] = cache
+            return out
+
+        def body(st):
+            for s in range(slots):  # static unroll: slots is small
+                st = jax.lax.cond(
+                    st["finished"][s] & (st["next_idx"] < n_req),
+                    lambda st, s=s: _splice_from_pool(st, s),
+                    lambda st: st,
+                    st,
+                )
+            return round_fn(params_v, params_d, st) if spec else greedy_body(
+                params_v, st)
+
+        def cond(st):
+            return jnp.any(~st["finished"]) | (st["next_idx"] < n_req)
+
+        state = jax.lax.while_loop(cond, body, state)
+        for s in range(slots):  # final occupants
+            state = _harvest_into(state, s)
+        return (state["out_tokens"], state["out_lens"],
+                state["out_lp"], state["out_nsp"])
+
     return {
         "prep": jax.jit(prep),
         "prefill": jax.jit(prefill),
         "splice": jax.jit(splice, donate_argnums=(0,)),
         "step": jax.jit(step, donate_argnums=(1,)),
+        # no donation: the outputs are tiny (P, buf_w) buffers, so the
+        # big state slabs can't be reused and donating only warns
+        "run_pooled": jax.jit(run_pooled),
         "empty_state": empty_state,
     }
 
@@ -643,25 +736,73 @@ class ContinuousBatcher:
         self._fill_idle_slots()
         return done
 
+    def run_queued(self, pool_cap: Optional[int] = None) -> List[tuple]:
+        """Drain the current queue with DEVICE-SIDE refill (offline /
+        throughput mode): prefill up to ``pool_cap`` queued requests into
+        a device-resident pool (ONE bucketed dispatch), then run ONE
+        compiled program that steps the slots and splices refills from
+        the pool *inside* its decode loop — zero host round trips between
+        chunks, zero idle chunk tails. Returns [(request_id, result)].
+
+        This is the high-throughput complement to the incremental
+        :meth:`poll` loop (which trades some throughput for streaming
+        results and mid-flight submission). ``pool_cap`` bounds device
+        memory: a pool row holds the request's full prefilled KV state
+        (dominated by the audio cross-attention slabs — ~55 MB/request
+        at small, ~245 MB at large-v2), so cap the pool at flagship
+        scale. Requests already in flight in polled slots are untouched
+        (this runs on a fresh slot state)."""
+        import jax
+
+        self._ensure_state()
+        done: List[tuple] = []
+        kw = {}
+        if self.draft_model is not None:
+            self._prep()
+            kw["params_d"] = self._prepped_d
+        while self._queue:
+            take = len(self._queue) if pool_cap is None else min(
+                int(pool_cap), len(self._queue))
+            reqs = [self._queue.pop(0) for _ in range(take)]
+            pool = self._prefill_many([(w, mt) for _, w, mt in reqs])
+            state = self._programs["empty_state"](self.slots)
+            out_tok, _, out_lp, out_nsp = self._programs["run_pooled"](
+                self._prep(), pool, state, np.int32(take), **kw
+            )
+            out_tok, out_lp, out_nsp = jax.device_get((out_tok, out_lp, out_nsp))
+            for j, (rid, _, _) in enumerate(reqs):
+                row = {
+                    "tokens": out_tok[j],
+                    "sum_logprobs": out_lp[j],
+                    "no_speech_probs": out_nsp[j],
+                }
+                done.append((rid, self._finalize_row(row)))
+        return done
+
     def transcribe_segments(
         self, waveforms: Sequence[np.ndarray],
         max_tokens: Optional[Sequence[int]] = None,
+        pooled: bool = False, pool_cap: Optional[int] = None,
     ) -> List[DecodingResult]:
         """Decode <=30 s waveforms with continuous slot refill; returns
         results in input order. ``max_tokens`` optionally caps each
         request's generated tokens (serving APIs expose per-request
         output budgets; also the honest way to benchmark variable-length
-        traffic with random-init weights)."""
+        traffic with random-init weights). ``pooled=True`` routes through
+        :meth:`run_queued` (device-side refill, highest throughput)."""
         if not waveforms:
             return []
         ids = [
             self.submit(w, max_tokens[i] if max_tokens else None)
             for i, w in enumerate(waveforms)
         ]
-        by_id = {}
-        while self.pending:
-            for rid, res in self.poll():
-                by_id[rid] = res
+        if pooled:
+            by_id = dict(self.run_queued(pool_cap=pool_cap))
+        else:
+            by_id = {}
+            while self.pending:
+                for rid, res in self.poll():
+                    by_id[rid] = res
         return [by_id[rid] for rid in ids]
 
     def _finalize_row(self, row) -> DecodingResult:
