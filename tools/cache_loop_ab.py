@@ -1,18 +1,15 @@
-"""Same-session A/B of the two beam-step cache fixes found by the
-profiler trace (r3): the one-hot-matmul cache reorder
-(``decoding.REORDER``) and the selector-form incremental self-attention
-(``models.whisper.SELECTOR_SELF``) — individually and together, against
-the r2 baseline (row-gather reorder + split-head chain).
+"""Same-session A/B of the decode-loop layer harness
+(``models.whisper.CACHE_LOOP``): lax.scan with stacked ys vs the r4b
+fori_loop with in-place dynamic_update_slice cache writes — on the
+GREEDY path (the beam path is covered by tools/beam_reorder_ab.py).
 
-Context: the beam-15 x b8 decomposition (tools/decode_probe.py small 8
-6 15) measured self-attention at 5.19 ms and the cache reorder at 2.57
-ms of the 8.19 ms step; the trace attributed most of both to layout
-thrash — XLA lays the carried (L, 120, T, D) cache batch-minor for the
-row gather, then full-stack-copies it twice per step for the attention
-reads, and the gather itself lowers to chunked pad/maximum ops.
+Why: the r4 device trace (docs/performance.md) showed scan's ys
+stacking forces XLA to copy the full (L, rows, T, D) k and v stacks
+back into the decode while_loop's carry buffers every step. At greedy
+b8 x small that's 2 x 66 MB of copy traffic per step against a ~1.5 ms
+step.
 
-Usage: python tools/beam_reorder_ab.py [model] [iters] [beam]
-       defaults: small 8 15
+Usage: python tools/cache_loop_ab.py [model] [iters]   # small 8
 """
 
 import os
@@ -41,7 +38,6 @@ def main():
 
     model_name = sys.argv[1] if len(sys.argv) > 1 else "small"
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    beam = int(sys.argv[3]) if len(sys.argv) > 3 else 15
     batch, sample_len = 8, 64
 
     dims = MODEL_DIMS[model_name]
@@ -54,55 +50,40 @@ def main():
     audio = rng.standard_normal((batch, 480_000)).astype(np.float32) * 0.05
     mel = log_mel_spectrogram(audio)
 
-    def measure(reorder, selector, fuse=False, loop="scan"):
-        decoding.REORDER = reorder
-        decoding.FUSE_REORDER = fuse
-        W.SELECTOR_SELF = selector
+    def measure(loop):
         W.CACHE_LOOP = loop
         decoding._make_decode_program.cache_clear()
         task = DecodingTask(
             model,
             DecodingOptions(
                 language="en", without_timestamps=True,
-                sample_len=sample_len, fp16=True, beam_size=beam,
+                sample_len=sample_len, fp16=True,
                 suppress_tokens=f"-1,{eot}",
             ),
         )
         results = task.run(mel)  # warm/compile
-        toks0 = [r.tokens for r in results]
+        toks = [r.tokens for r in results]
         for r in results:
             assert len(r.tokens) >= sample_len, "early EOT: invalid"
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(iters):
-                results = task.run(mel)
+                task.run(mel)
             best = min(best, (time.perf_counter() - t0) / iters)
-        return batch * 30.0 / best, toks0
+        return batch * 30.0 / best, toks
 
-    legs = [
-        ("matmul + selector (r3 ship)", "matmul", True, False, "scan"),
-        ("in-scan fused reorder (r4)", "matmul", True, True, "scan"),
-        ("fori in-place cache loop (r4b)", "matmul", True, True, "fori"),
-        ("fused reorder again (drift)", "matmul", True, True, "scan"),
-    ]
-    if os.environ.get("WF_AB_FULL"):  # historical r2/r3 legs
-        legs = [
-            ("gather + split (r2 baseline)", "gather", False, False, "scan"),
-            ("matmul reorder", "matmul", False, False, "scan"),
-            ("selector self-attn", "gather", True, False, "scan"),
-        ] + legs
+    legs = [("scan (stacked ys)", "scan"),
+            ("fori in-place DUS", "fori"),
+            ("scan again (drift)", "scan")]
     toks_ref = None
-    for tag, reorder, selector, fuse, loop in legs:
-        rtf, toks = measure(reorder, selector, fuse, loop)
+    for tag, loop in legs:
+        rtf, toks = measure(loop)
         if toks_ref is None:
             toks_ref = toks
         match = "tokens==base" if toks == toks_ref else "TOKENS DIFFER"
-        print(f"{model_name} beam{beam} {tag:32s} {rtf:7.1f}x RT  [{match}]",
+        print(f"{model_name} greedy {tag:24s} {rtf:7.1f}x RT  [{match}]",
               flush=True)
-    decoding.REORDER = "matmul"
-    decoding.FUSE_REORDER = True
-    W.SELECTOR_SELF = True
     W.CACHE_LOOP = "fori"
 
 

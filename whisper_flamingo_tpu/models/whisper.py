@@ -61,6 +61,17 @@ Params = Dict[str, Any]
 # (tools/beam_reorder_ab.py, docs/performance.md).
 SELECTOR_SELF = True
 
+# Decode-loop layer-iteration harness: "fori" updates the carried
+# self-cache stacks IN PLACE (dynamic_update_slice on a fori_loop
+# carry), "scan" stacks fresh ys buffers. The r4 device trace showed
+# lax.scan's ys stacking forces XLA to copy the ENTIRE (L, rows, T, D)
+# k and v stacks back into the enclosing while-loop's carry buffers
+# every decode step (two full-stack copies, 0.97 ms/step at small
+# beam-15 x b8 — pure waste; the attention math itself traced at
+# 0.05 ms/step). fori + in-place DUS keeps one buffer alive across the
+# token loop. Default set by on-chip A/B (tools/beam_reorder_ab.py).
+CACHE_LOOP = "fori"
+
 
 # ---------------------------------------------------------------------------
 # Primitive layers (pure functions over param sub-trees)
@@ -783,11 +794,43 @@ def decoder_apply(
             xt_kv = (
                 jnp.zeros((dims.n_text_layer,)), jnp.zeros((dims.n_text_layer,))
             )
-        x, new_self = jax.lax.scan(
-            block_fn,
-            x,
-            (dec["blocks"], self_kv, xa_kv, xt_kv),
-        )
+        if CACHE_LOOP == "fori":
+            # in-place layer loop: read layer l's slices, run the block,
+            # write the updated self slabs back into the SAME carried
+            # stacks via dynamic_update_slice — unlike lax.scan's ys
+            # stacking this aliases in place across the enclosing decode
+            # while_loop, deleting two full-stack copies per step (see
+            # CACHE_LOOP above). Read-only operands (weights, xa/xt
+            # slabs) are closure-captured and sliced per layer, exactly
+            # the dynamic-slice reads scan's xs machinery would emit.
+            n_layers = dims.n_text_layer
+
+            def _idx(l):
+                return lambda a: jax.lax.dynamic_index_in_dim(
+                    a, l, 0, keepdims=False
+                )
+
+            def layer_body(l, carry):
+                x_c, kv_c = carry
+                layer_in = jax.tree.map(
+                    _idx(l), (dec["blocks"], kv_c, xa_kv, xt_kv)
+                )
+                x_c, new_l = block_fn(x_c, layer_in)
+                kv_c = tuple(
+                    jax.lax.dynamic_update_index_in_dim(s, n, l, 0)
+                    for s, n in zip(kv_c, new_l)
+                )
+                return x_c, kv_c
+
+            x, new_self = jax.lax.fori_loop(
+                0, n_layers, layer_body, (x, self_kv)
+            )
+        else:
+            x, new_self = jax.lax.scan(
+                block_fn,
+                x,
+                (dec["blocks"], self_kv, xa_kv, xt_kv),
+            )
         if quantized_self:
             new_cache = dict(
                 cache, k=new_self[0], v=new_self[1],
