@@ -53,6 +53,23 @@ def test_log_mel_batched_and_short():
     np.testing.assert_allclose(one, out[1], atol=1e-6)
 
 
+def test_log_mel_awkward_batch_sizes():
+    """Batches >8 and not a multiple of 8 route through the pad-to-8
+    workaround (an XLA TPU fusion miscompile returns NaN mels at those
+    sizes — see log_mel_spectrogram); rows must equal their per-row
+    computation and the padding must be sliced off."""
+    rng = np.random.default_rng(2)
+    for b in (9, 12, 17):
+        batch = rng.standard_normal((b, 16000)).astype(np.float32)
+        out = np.asarray(log_mel_spectrogram(batch))
+        assert out.shape == (b, 80, 100)
+        assert np.isfinite(out).all()
+        for i in (0, b - 1):
+            np.testing.assert_allclose(
+                np.asarray(log_mel_spectrogram(batch[i])), out[i], atol=1e-6
+            )
+
+
 def test_spectrogram_passthrough():
     spec = np.zeros((80, 3000), np.float32)
     assert log_mel_spectrogram(spec) is spec

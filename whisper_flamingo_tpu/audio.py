@@ -279,5 +279,21 @@ def log_mel_spectrogram(
     single = audio.ndim == 1
     if single:
         audio = audio[None]
+    # XLA TPU miscompile workaround (measured, v5e/axon): the fused
+    # STFT program returns NaNs for batch sizes that are >8 and not a
+    # multiple of 8 (b=9..15, 17, 20, 28... all-NaN or partial-NaN;
+    # b<=8 and multiples of 8 are correct — the eager per-op chain is
+    # fine at every size, so this is a fusion/tiling bug in the
+    # backend, not in the math). Pad the batch up to a multiple of 8
+    # with silent rows and slice back; the log clamp is per-row, so
+    # padding rows cannot perturb real rows.
+    b = audio.shape[0]
+    pad_rows = (-b) % 8 if b > 8 else 0
+    if pad_rows:
+        audio = jnp.concatenate(
+            [audio, jnp.zeros((pad_rows, audio.shape[1]), audio.dtype)]
+        )
     out = _log_mel_jax(audio, n_mels, padding)
+    if pad_rows:
+        out = out[:b]
     return out[0] if single else out
