@@ -1,10 +1,11 @@
 #!/bin/bash
-# One-shot runner for every measurement that was blocked on the TPU
-# tunnel outage (r3). Probes the chip first; each step is bounded and
-# logged so a short recovery window still captures everything.
+# One-shot runner for every on-chip measurement pending in r4 (kept in
+# sync with the round's punch list). Probes the chip first; each step is
+# bounded and logged so a short tunnel-recovery window still captures as
+# much as possible, in priority order.
 # Usage: bash tools/run_pending_measurements.sh [outdir]
 set -u -o pipefail
-OUT=${1:-/tmp/wf_measurements}
+OUT=${1:-/tmp/wf_measurements_r4}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
@@ -28,16 +29,15 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "$name exit=${PIPESTATUS[0]}" >> "$OUT/status.txt"
 }
 
-# 1. driver artifact sanity: the bench with the new int8 legs
-run bench 3600 python bench.py
-# 2. flash64 forward variants (FWD_SUM decision)
-run flash64_fwd 1800 python tools/flash64_fwd_probe.py
-# 3. fused decode-MLP kernel A/B (ENABLED decision)
-run decode_mlp_ab 2400 python tools/decode_mlp_ab.py small 12
-# 4. speculative decoding bounds + cost model
-run spec_ab 2400 python tools/spec_ab.py small tiny 8
-# 5. continuous vs padded batching under variable-length traffic
+# 1. continuous batching incl. the POOLED device-side refill leg
 run cb_ab 2400 python tools/cb_ab.py small 32 8
-# 5. train-step A/B with the FWD_SUM winner is manual: flip
-#    ops/flash64.py FWD_SUM and run tools/mfu_probe.py twice.
+# 2. trained-pair speculative decoding (measured acceptance + speedup)
+run spec_train 3600 python tools/spec_train_ab.py small tiny 12 900
+# 3. int8kv beam rows at the r4b fori defaults (refresh stale docs rows)
+run int8_small 2400 python tools/int8_ab.py small 8 15 int8,int8kv
+run int8_large 2400 python tools/int8_ab.py large-v2 3 15 int8,int8kv
+# 4. headline bench (also warms the driver's compile cache)
+run bench 5400 python bench.py
+# 5. fresh beam decomposition at the r4b defaults (ledger)
+run decode_probe 2400 python tools/decode_probe.py small 8 6 15
 echo "done $(date)" >> "$OUT/status.txt"

@@ -467,19 +467,23 @@ class ContinuousBatcher:
     behind compute at the cost of finished slots idling one chunk before
     refill. The chunk length is a RUNTIME argument of one compiled
     stepper (no per-chunk-config program): under queue pressure the
-    stepper runs ``chunk``-token chunks and (``stop_on_finish``,
-    default) ends a chunk the moment any slot newly finishes so the
-    freed slot refills next poll instead of idling out the chunk; with
-    an empty queue it switches to ``drain_chunk`` (default 4x) to
-    amortize the dispatch round trip. Call :meth:`warmup` to pay the
-    one-time program loads before traffic. Flip ``pipeline=False`` for
-    freshest-result streaming semantics.
+    stepper runs ``chunk``-token chunks and (``stop_on_finish``) can end
+    a chunk the moment any slot newly finishes so the freed slot refills
+    next poll instead of idling out the chunk — measured to LOSE through
+    a high-dispatch-latency link (each early chunk end costs a dispatch
+    round trip; docs/performance.md), so it defaults off; the crossover
+    is dispatch_cost ≈ chunk_remainder x step_time. With an empty queue
+    the stepper switches to ``drain_chunk`` (default 4x) to amortize the
+    dispatch round trip. Call :meth:`warmup` to pay the one-time program
+    loads before traffic. Flip ``pipeline=False`` for freshest-result
+    streaming semantics. For offline/throughput traffic use
+    :meth:`run_queued` (device-side pooled refill) instead of polling.
     """
 
     def __init__(self, model, options: Optional[DecodingOptions] = None,
                  slots: int = 8, chunk: int = 16, draft_model=None,
                  draft_len: int = 4, pipeline: bool = True,
-                 stop_on_finish: bool = True,
+                 stop_on_finish: bool = False,
                  drain_chunk: Optional[int] = None):
         from .decoding import DecodingTask
 
