@@ -251,6 +251,34 @@ def test_audio_features_retention_policy(models, mel):
         assert r.audio_features.shape == (d.n_audio_ctx, d.n_audio_state)
 
 
+def test_cache_loop_flag_equivalence(models, mel):
+    """models.whisper.CACHE_LOOP: the fori_loop in-place cache harness
+    (r4b ship, deletes the scan's full-stack carry copy-back — docs/
+    performance.md) vs the lax.scan harness run the same block math, so
+    tokens and scores must match exactly at both flag values, greedy
+    and beam."""
+    from whisper_flamingo_tpu import decoding
+    from whisper_flamingo_tpu.models import whisper as W
+
+    _, ours = models
+    assert W.CACHE_LOOP == "fori"  # shipped default
+    for kw in (
+        dict(language="en", sample_len=10, without_timestamps=True),
+        dict(language="en", sample_len=10, beam_size=3, without_timestamps=True),
+    ):
+        base = _our_decode(ours, mel, **kw)
+        W.CACHE_LOOP = "scan"
+        decoding._make_decode_program.cache_clear()
+        try:
+            scan = _our_decode(ours, mel, **kw)
+        finally:
+            W.CACHE_LOOP = "fori"
+            decoding._make_decode_program.cache_clear()
+        for b, u in zip(base, scan):
+            assert b.tokens == u.tokens
+            assert np.isclose(b.avg_logprob, u.avg_logprob, atol=1e-6)
+
+
 def test_beam_fused_reorder_flag_equivalence(models, mel):
     """decoding.FUSE_REORDER (in-scan cache permutation) vs the
     standalone reorder pass: bit-exact same contraction, so tokens and
