@@ -150,12 +150,17 @@ def main():
         return snaps
 
     print(f"corpus: {n_utts} utts, verifier={v_name}, draft={d_name}, K={K}")
-    v_snaps = train("verifier", dims_v, [0.999])
-    if 0.999 not in v_snaps:
+    # the verifier's absolute teacher-forced accuracy doesn't gate the
+    # measurement (its own greedy rollout IS the reference tokens) — it
+    # only needs to produce structured text, so 0.95 is plenty; the
+    # draft's levels trace the acceptance curve
+    V_ACC, D_TOP = 0.95, 0.98
+    v_snaps = train("verifier", dims_v, [V_ACC])
+    if V_ACC not in v_snaps:
         raise SystemExit("verifier failed to overfit (raise max_steps)")
-    d_snaps = train("draft", dims_d, [0.5, 0.8, 0.999])
+    d_snaps = train("draft", dims_d, [0.5, 0.8, D_TOP])
 
-    verifier = Whisper(dims=dims_v, params=v_snaps[0.999], dtype=jnp.bfloat16)
+    verifier = Whisper(dims=dims_v, params=v_snaps[V_ACC], dtype=jnp.bfloat16)
     opts = DecodingOptions(language="en", without_timestamps=True,
                            fp16=True, sample_len=max_txt + 8)
 
