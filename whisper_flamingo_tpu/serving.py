@@ -408,7 +408,23 @@ def _make_cb_programs(dims, cfg, eot, max_len, dtype, no_speech,
                 out[ck] = cache
             return out
 
-        def body(st):
+        def _step(st):
+            return round_fn(params_v, params_d, st) if spec else greedy_body(
+                params_v, st)
+
+        # nested loops: the INNER while is the hot decode path — the
+        # plain per-token step with NO conditionals — and exits only
+        # when a slot newly finishes while pool rows remain (or all
+        # slots finish). The refill pass (per-slot lax.cond splices)
+        # lives in the OUTER body, so its cost is paid per refill
+        # event, not per token: a first cut ran the conds inside the
+        # token loop and measured SLOWER than the polled stepper
+        # (the conds defeat in-place carry aliasing — docs/performance.md).
+        def inner_cond(st):
+            refill_wanted = (st["next_idx"] < n_req) & jnp.any(st["finished"])
+            return jnp.any(~st["finished"]) & ~refill_wanted
+
+        def outer_body(st):
             for s in range(slots):  # static unroll: slots is small
                 st = jax.lax.cond(
                     st["finished"][s] & (st["next_idx"] < n_req),
@@ -416,13 +432,12 @@ def _make_cb_programs(dims, cfg, eot, max_len, dtype, no_speech,
                     lambda st: st,
                     st,
                 )
-            return round_fn(params_v, params_d, st) if spec else greedy_body(
-                params_v, st)
+            return jax.lax.while_loop(inner_cond, _step, st)
 
-        def cond(st):
+        def outer_cond(st):
             return jnp.any(~st["finished"]) | (st["next_idx"] < n_req)
 
-        state = jax.lax.while_loop(cond, body, state)
+        state = jax.lax.while_loop(outer_cond, outer_body, state)
         for s in range(slots):  # final occupants
             state = _harvest_into(state, s)
         return (state["out_tokens"], state["out_lens"],
