@@ -160,7 +160,14 @@ def main():
         raise SystemExit("verifier failed to overfit (raise max_steps)")
     d_snaps = train("draft", dims_d, [0.5, 0.8, D_TOP])
 
-    verifier = Whisper(dims=dims_v, params=v_snaps[V_ACC], dtype=jnp.bfloat16)
+    # snapshots were device_get (host numpy) so training could donate —
+    # push them back as DEVICE arrays before timing: numpy params would
+    # re-transfer the full fp32 tree through the tunnel on EVERY
+    # task.run (~20 s/run for `small` at ~30 MB/s), drowning the
+    # measurement in transfer time on both sides of the ratio
+    v_params = jax.device_put(v_snaps[V_ACC])
+    jax.block_until_ready(v_params)
+    verifier = Whisper(dims=dims_v, params=v_params, dtype=jnp.bfloat16)
     opts = DecodingOptions(language="en", without_timestamps=True,
                            fp16=True, sample_len=max_txt + 8)
 
@@ -184,7 +191,9 @@ def main():
     print(f"{'draft acc':>10} {'accept/tok':>10} {'tok/round':>10} "
           f"{'wall':>8} {'xRT':>8} {'speedup':>8} match")
     for level in sorted(d_snaps):
-        draft = Whisper(dims=dims_d, params=d_snaps[level], dtype=jnp.bfloat16)
+        d_params = jax.device_put(d_snaps[level])
+        jax.block_until_ready(d_params)
+        draft = Whisper(dims=dims_d, params=d_params, dtype=jnp.bfloat16)
         task = SpeculativeDecodingTask(verifier, draft, opts, draft_len=K)
         t_s, out = timed(task, mels)
         stats = {k: float(v) for k, v in task.last_stats.items()}
