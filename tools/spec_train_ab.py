@@ -12,8 +12,14 @@ batch, same session. Outputs are also checked token-identical (the
 speculative guarantee) at every acceptance level.
 
 Usage: python tools/spec_train_ab.py [verifier] [draft] [n_utts] [max_steps]
-       # defaults: tiny debug 12 600 (CPU-runnable);
-       # the flagship measurement: small tiny / large-v2 tiny on-chip
+                                     [max_words]
+       # defaults: tiny debug 12 600 14 (CPU-runnable);
+       # the flagship measurement: small tiny / medium tiny on-chip.
+       # max_words sets the target-length range (6..max_words words) —
+       # short targets hide the decode-loop effect behind the shared
+       # prefill cost; ~40+ makes the token loop dominate, which is the
+       # regime speculation exists for. (large-v2 as verifier is not
+       # trainable on one 16 GB chip: fp32 adam state alone is ~18 GB.)
 """
 
 import os
@@ -29,14 +35,14 @@ WORDS = ("the quick brown fox jumps over a lazy dog while rain falls on "
          "touches every tall tower in the old town square").split()
 
 
-def build_corpus(tokenizer, n_utts, rng):
+def build_corpus(tokenizer, n_utts, rng, max_words=14):
     """n seeded (wave, dec_input_ids, labels) with real-text targets."""
     sot = list(tokenizer.sot_sequence_including_notimestamps)
     rows = []
     for _ in range(n_utts):
         wave = (rng.standard_normal(16000 * int(rng.integers(3, 9)))
                 .astype(np.float32) * 0.08)
-        n_words = int(rng.integers(6, 14))
+        n_words = int(rng.integers(6, max_words))
         text = " " + " ".join(rng.choice(WORDS) for _ in range(n_words))
         toks = tokenizer.encode(text)
         dec = sot + toks
@@ -81,11 +87,12 @@ def main():
     d_name = sys.argv[2] if len(sys.argv) > 2 else "debug"
     n_utts = int(sys.argv[3]) if len(sys.argv) > 3 else 12
     max_steps = int(sys.argv[4]) if len(sys.argv) > 4 else 600
+    max_words = int(sys.argv[5]) if len(sys.argv) > 5 else 14
     K = 4
 
     tokenizer = get_tokenizer(True, language="en", task="transcribe")
     rng = np.random.default_rng(0)
-    rows = build_corpus(tokenizer, n_utts, rng)
+    rows = build_corpus(tokenizer, n_utts, rng, max_words)
     dims_v, dims_d = MODEL_DIMS[v_name], MODEL_DIMS[d_name]
     mels = log_mel_spectrogram(
         np.stack([np.asarray(pad_or_trim(w, N_SAMPLES)) for w, _, _ in rows]),
@@ -137,7 +144,10 @@ def main():
         t0 = time.perf_counter()
         for i in range(max_steps):
             state, metrics = step(state, batch)
-            if (i + 1) % 20 == 0 or i == max_steps - 1:
+            # check every 10 steps: overfit crosses 0.5->0.95 within ~20
+            # steps, so a 20-step cadence collapses the low thresholds
+            # onto one snapshot and the acceptance curve loses its points
+            if (i + 1) % 10 == 0 or i == max_steps - 1:
                 a = float(acc_fn(state.params, batch["input_ids"],
                                  batch["dec_input_ids"], batch["labels"]))
                 print(f"  {name} step {i+1}: loss={float(metrics['loss']):.3f} "
