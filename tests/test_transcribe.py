@@ -8,6 +8,8 @@ import jax
 import numpy as np
 import pytest
 
+from conftest import import_reference_whisper
+
 from whisper_flamingo_tpu import load_model, transcribe
 from whisper_flamingo_tpu.writers import get_writer
 
@@ -253,3 +255,72 @@ def test_transcribe_compile_budget(model, tmp_path):
     )
     # the encoder compiled exactly once for all windows of both files
     assert after_second["encode_programs"] - before["encode_programs"] <= 1
+
+
+def test_transcribe_reference_parity():
+    """End-to-end long-form parity: run the *reference's* ``transcribe``
+    (torch, CPU, imported read-only) and ours on the same weights and the
+    same multi-window clip, and assert the produced segments match —
+    seek positions, timestamps, token ids, text, and the temperature each
+    window was accepted at. This pins the ported
+    seek/temperature-ladder/segmentation state machine
+    (reference transcribe.py:155-193,195+) as a whole, not just the
+    per-window decode (test_decoding.py) and the writers.
+
+    Ladder setup: ``temperature=(0.0, 0.0)`` with
+    ``compression_ratio_threshold=0.0`` makes EVERY window fail the first
+    rung (any gzip ratio exceeds 0.0) and retry deterministically at the
+    second — the fallback path is genuinely exercised while both systems
+    stay greedy (a t>0 rung would sample from two unrelated RNGs)."""
+    import torch
+
+    whisper_ref = import_reference_whisper()
+
+    from whisper_flamingo_tpu.models.dims import MODEL_DIMS
+    from whisper_flamingo_tpu.models.whisper import ModelExtras, Whisper
+    from whisper_flamingo_tpu.training.checkpoints import load_torch_state
+
+    dims = MODEL_DIMS["debug"]
+    torch.manual_seed(7)
+    ref_dims = whisper_ref.ModelDimensions(**dims.to_dict())
+    ref = whisper_ref.model.Whisper(
+        ref_dims, dropout_rate=0.0, add_adapter=False, adapter_dim=256,
+        add_gated_x_attn=0, bert_dim=768, num_langs=0,
+    )
+    ref.eval()
+    with torch.no_grad():
+        ref.decoder.positional_embedding.normal_(0, 0.02)
+    ours = Whisper(
+        dims=dims, params=load_torch_state(ref.state_dict(), dims, ModelExtras())
+    )
+
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal(int(50 * 16000)) * 0.05).astype(np.float32)
+
+    kw = dict(
+        verbose=None,
+        language="en",
+        temperature=(0.0, 0.0),
+        compression_ratio_threshold=0.0,
+        logprob_threshold=None,
+        no_speech_threshold=None,
+        condition_on_previous_text=True,
+        sample_len=12,
+        fp16=False,
+    )
+    with torch.no_grad():
+        expected = whisper_ref.transcribe(ref, torch.from_numpy(audio), **kw)
+    got = transcribe(ours, audio, **kw)
+
+    assert got["language"] == expected["language"]
+    # >= 2 windows: the seek state machine actually advanced
+    assert len({s["seek"] for s in expected["segments"]}) >= 2
+    assert len(got["segments"]) == len(expected["segments"])
+    for g, e in zip(got["segments"], expected["segments"]):
+        assert g["seek"] == e["seek"]
+        assert g["start"] == pytest.approx(e["start"])
+        assert g["end"] == pytest.approx(e["end"])
+        assert [int(t) for t in g["tokens"]] == [int(t) for t in e["tokens"]]
+        assert g["text"] == e["text"]
+        assert g["temperature"] == e["temperature"]
+    assert got["text"] == expected["text"]
