@@ -34,7 +34,8 @@ import time
 import numpy as np
 
 
-def _decode_bench(model, mel, sample_len, beam_size, iters, eot, quantize=None):
+def _decode_bench(model, mel, sample_len, beam_size, iters, eot, quantize=None,
+                  xt=None):
     from whisper_flamingo_tpu.decoding import DecodingOptions, DecodingTask
 
     task = DecodingTask(
@@ -50,7 +51,7 @@ def _decode_bench(model, mel, sample_len, beam_size, iters, eot, quantize=None):
             suppress_tokens=f"-1,{eot}",
         ),
     )
-    results = task.run(mel)  # warmup (compile)
+    results = task.run(mel, xt=xt)  # warmup (compile)
     for r in results:
         assert len(r.tokens) >= sample_len, (
             f"decode consumed only {len(r.tokens)}/{sample_len} tokens; "
@@ -58,7 +59,7 @@ def _decode_bench(model, mel, sample_len, beam_size, iters, eot, quantize=None):
         )
     t0 = time.perf_counter()
     for _ in range(iters):
-        results = task.run(mel)  # device_get inside run syncs each iter
+        results = task.run(mel, xt=xt)  # device_get inside run syncs each iter
     elapsed = time.perf_counter() - t0
     for r in results:
         assert len(r.tokens) >= sample_len
@@ -66,6 +67,39 @@ def _decode_bench(model, mel, sample_len, beam_size, iters, eot, quantize=None):
     rtf = iters * batch * 30.0 / elapsed
     tok_s = iters * batch * sample_len / elapsed
     return rtf, tok_s
+
+
+def _flamingo_model(dims, bert_dim=768):
+    """Gated-x-attn (Whisper-Flamingo) model at ``dims`` with opened gates.
+
+    The framework's namesake configuration: decoder blocks carry one
+    conditioning stream of gated cross-attention (reference
+    model.py:110-215). Gates init at 0 (identity); the bench opens them to
+    1 so the xt stream genuinely flows through every decode step — XLA
+    cannot fold the conditioning path away. Params are kept as bf16
+    masters: the decode program computes in bf16 anyway, and the flagship
+    (large-v2 + 32x gated blocks, ~2.2B params) must co-reside with the
+    beam KV slabs on one 16 GB chip.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_flamingo_tpu.models.whisper import (
+        ModelExtras, Whisper, init_params,
+    )
+
+    extras = ModelExtras(add_gated_x_attn=1, num_langs=1, bert_dim=bert_dim)
+    params = jax.jit(
+        lambda k: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16),
+            init_params(k, dims, extras),
+        )
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    g = params["decoder"]["blocks"]["gated"]
+    g["langs"]["attn_gate"] = jnp.ones_like(g["langs"]["attn_gate"])
+    g["ff_gate"] = jnp.ones_like(g["ff_gate"])
+    return Whisper(dims=dims, params=params, extras=extras, dtype=jnp.bfloat16)
 
 
 def _train_bench(dims, params, iters):
@@ -138,9 +172,25 @@ def main() -> None:
     if platform:
         jax.config.update("jax_platforms", platform)
     # persistent compilation cache: keeps repeat bench runs out of the
-    # (slow, remote) compile path
+    # (slow, remote) compile path. CPU smoke runs get a host-salted dir:
+    # XLA:CPU caches AOT machine code keyed without the full feature
+    # flags, and loading an executable compiled on a different
+    # microarchitecture can SIGILL (see tests/conftest.py).
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/wf_tpu_jax_cache")
+        cache_dir = "/tmp/wf_tpu_jax_cache"
+        if platform == "cpu":
+            import hashlib
+
+            try:
+                with open("/proc/cpuinfo") as f:
+                    feats = next(
+                        (ln for ln in f if ln.startswith("flags")), ""
+                    )
+            except OSError:
+                feats = ""
+            salt = hashlib.sha256(feats.encode()).hexdigest()[:10]
+            cache_dir = f"/tmp/wf_cpu_jax_cache_{salt}"
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
@@ -236,6 +286,50 @@ def main() -> None:
     _RESULT[f"train_step_ms_{model_name}_b{batch}"] = round(train_ms, 2)
     _RESULT["train_mfu_v5e"] = round(train_mfu, 4)
 
+    # Whisper-Flamingo (gated-x-attn) decode — the model the framework is
+    # named after, on the reference's published protocol (beam 15,
+    # README.md:113-117; gated blocks model.py:110-215). Conditioning:
+    # a BERT-dim (768) translated-text stream, S=64 tokens (Trans-ASR),
+    # plus one AV-shaped row (AV-HuBERT-large embed dim 1024, S=448 video
+    # frames @25 fps = 17.9 s — the max conditioning length: the xt
+    # stream takes the decoder positional embedding, so n_text_ctx=448
+    # caps it, here exactly as in the reference, model.py:322).
+    # Guarded: a flamingo-path failure must not lose the plain rows.
+    try:
+        fmodel = _flamingo_model(dims, bert_dim=768)
+        xt = jnp.asarray(
+            rng.standard_normal((1, batch, 64, 768)), jnp.float32
+        )
+        fl_rtf, _ = _decode_bench(
+            fmodel, mel, sample_len, 15, max(iters // 3, 1), eot, xt=xt
+        )
+        print(f"flamingo beam15: rtf={fl_rtf:.1f}", file=sys.stderr)
+        _RESULT[f"flamingo_beam15_rtf_{model_name}"] = round(fl_rtf, 3)
+        try:
+            fl_kv_rtf, _ = _decode_bench(
+                fmodel, mel, sample_len, 15, max(iters // 3, 1), eot,
+                "int8kv", xt=xt,
+            )
+        except Exception as e:
+            fl_kv_rtf = 0.0
+            print(f"flamingo int8kv bench failed: {e}", file=sys.stderr)
+        print(f"flamingo beam15 int8kv: rtf={fl_kv_rtf:.1f}", file=sys.stderr)
+        _RESULT[f"flamingo_beam15_int8kv_rtf_{model_name}"] = round(fl_kv_rtf, 3)
+        del fmodel
+        favmodel = _flamingo_model(dims, bert_dim=1024)
+        xt_av = jnp.asarray(
+            rng.standard_normal((1, batch, 448, 1024)), jnp.float32
+        )
+        fav_rtf, _ = _decode_bench(
+            favmodel, mel, sample_len, 15, max(iters // 3, 1), eot, xt=xt_av
+        )
+        print(f"flamingo AV beam15: rtf={fav_rtf:.1f}", file=sys.stderr)
+        _RESULT[f"flamingo_av_beam15_rtf_{model_name}"] = round(fav_rtf, 3)
+        del favmodel
+    except Exception as e:
+        _RESULT["flamingo_error"] = f"{type(e).__name__}: {e}"
+        print(f"flamingo bench failed: {e}", file=sys.stderr)
+
     # flagship: the reference's published protocol on its published model
     # size — large-v2 greedy AND beam-15 (README.md:96-101,113-117), with
     # the same full-token-budget guard, in the driver-verified artifact
@@ -280,6 +374,31 @@ def main() -> None:
                 file=sys.stderr,
             )
             _RESULT[f"{key}_beam15_int8kv_rtf_b{batch}"] = round(lbkv_rtf, 3)
+
+            # flagship Flamingo: the published model (Whisper-Flamingo
+            # Large-V2, README.md:96-101) at the published protocol.
+            # Free the plain flagship first — gated large-v2 is ~2.2B
+            # params even as bf16 masters.
+            del lmodel, lparams
+            flmodel = _flamingo_model(ldims, bert_dim=768)
+            xt = jnp.asarray(
+                rng.standard_normal((1, batch, 64, 768)), jnp.float32
+            )
+            flb_rtf, _ = _decode_bench(flmodel, mel, sample_len, 15, 2, eot, xt=xt)
+            print(f"{flagship_name} flamingo beam15: rtf={flb_rtf:.1f}", file=sys.stderr)
+            _RESULT[f"flamingo_beam15_rtf_{key}"] = round(flb_rtf, 3)
+            try:
+                flbkv_rtf, _ = _decode_bench(
+                    flmodel, mel, sample_len, 15, 2, eot, "int8kv", xt=xt
+                )
+            except Exception as e:
+                flbkv_rtf = 0.0
+                print(f"flagship flamingo int8kv failed: {e}", file=sys.stderr)
+            print(
+                f"{flagship_name} flamingo beam15 int8kv: rtf={flbkv_rtf:.1f}",
+                file=sys.stderr,
+            )
+            _RESULT[f"flamingo_beam15_int8kv_rtf_{key}"] = round(flbkv_rtf, 3)
         except Exception as e:  # flagship failure must not lose the headline
             _RESULT["flagship_error"] = f"{type(e).__name__}: {e}"
             print(f"flagship bench failed: {e}", file=sys.stderr)

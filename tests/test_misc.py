@@ -116,3 +116,23 @@ def test_profiling_utils():
     flops = model_flops(MODEL_DIMS["small"], batch=8)
     assert flops > 1e12
     assert 0 < mfu(flops, "v5e") < 1e3
+
+
+def test_xt_over_length_raises():
+    """Conditioning streams take the decoder positional embedding, so
+    their length is capped at n_text_ctx=448 (reference model.py:322 has
+    the identical cap); over-length streams get a clear error instead of
+    a broadcast failure."""
+    import jax.numpy as jnp
+    import pytest
+
+    from whisper_flamingo_tpu.models.dims import MODEL_DIMS
+    from whisper_flamingo_tpu.models.whisper import ModelExtras, init_params, _prepare_xt
+
+    dims = MODEL_DIMS["debug"]
+    params = init_params(
+        jax.random.PRNGKey(0), dims, ModelExtras(add_gated_x_attn=1, num_langs=1)
+    )
+    xt = jnp.zeros((1, 2, dims.n_text_ctx + 1, dims.n_text_state))
+    with pytest.raises(ValueError, match="n_text_ctx"):
+        _prepare_xt(params, dims, xt, jnp.float32)

@@ -1,0 +1,181 @@
+"""Bound the odd-batch XLA-TPU-miscompile class across the compiled programs.
+
+Background: the fused STFT/mel program returns NaNs on the v5e/axon backend
+for batch sizes >8 that are not a multiple of 8 (b=9..15, 17, 20, 28, ...);
+``audio.log_mel_spectrogram`` pads the batch to a multiple of 8 as a
+workaround (audio.py, commit 9f42987). This tool establishes whether the
+same miscompile class hits the OTHER compiled programs at those batch
+sizes — encoder forward, greedy decode, beam decode, and the train step
+(per-example loss + grads) — none of which carry a pad guard, because
+continuous-batching slots and user-facing ``decode()`` accept arbitrary
+batch sizes.
+
+Method (same-device control, no cross-backend tolerance games): for each
+odd batch b in {9, 12, 17}, run the program at batch b AND at batch
+ceil8(b) with the same inputs padded by zero/dummy rows, then compare the
+first b output rows. Each whisper program is row-independent (matmuls +
+within-row reductions; no cross-example math except the final loss mean,
+which is why the train leg compares a per-example loss vector), so the
+rows must agree bit-for-bit-ish; a batch-shape-dependent codegen bug shows
+up as NaNs or row mismatches. A raw (guard-bypassing) mel leg re-runs the
+known-bad program first so a healthy sweep also demonstrates the detector
+actually fires on this backend.
+
+Run on the chip:  python tools/oddbatch_sweep.py            (platform=axon)
+CPU self-check:   WF_SWEEP_PLATFORM=cpu python tools/oddbatch_sweep.py
+
+Prints one JSON line per leg and a final summary line; exit code 0 iff
+every leg is clean (raw-mel NaN rows are reported but expected on TPU).
+Results recorded next to the mel guard in audio.py and in
+docs/performance.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCHES = (9, 12, 17)
+_FAILED = False
+
+
+def _ceil8(b: int) -> int:
+    return -(-b // 8) * 8
+
+
+def _row(name: str, **kw) -> None:
+    global _FAILED
+    if not kw.get("ok", True):
+        _FAILED = True
+    print(json.dumps({"leg": name, **kw}), flush=True)
+
+
+def _cmp(name: str, got: np.ndarray, want: np.ndarray, atol: float) -> None:
+    finite = bool(np.isfinite(got).all())
+    diff = float(np.max(np.abs(got.astype(np.float64) - want.astype(np.float64)))) \
+        if finite and np.isfinite(want).all() else float("nan")
+    _row(name, ok=finite and diff <= atol, finite=finite, max_row_diff=diff,
+         atol=atol)
+
+
+def main() -> int:
+    platform = os.environ.get("WF_SWEEP_PLATFORM")
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/wf_tpu_jax_cache"
+                      if platform != "cpu" else "/tmp/wf_sweep_cpu_cache")
+
+    import jax.numpy as jnp
+
+    from whisper_flamingo_tpu.audio import _log_mel_jax, log_mel_spectrogram
+    from whisper_flamingo_tpu.decoding import DecodingOptions, DecodingTask
+    from whisper_flamingo_tpu.models.dims import MODEL_DIMS
+    from whisper_flamingo_tpu.models.whisper import (
+        Whisper, encoder_apply, init_params,
+    )
+    from whisper_flamingo_tpu.tokenizer import get_tokenizer
+
+    model_name = os.environ.get("WF_SWEEP_MODEL", "tiny")
+    sample_len = int(os.environ.get("WF_SWEEP_SAMPLE_LEN", "16"))
+    dims = MODEL_DIMS[model_name]
+    params = jax.jit(lambda k: init_params(k, dims))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    model = Whisper(dims=dims, params=params, dtype=jnp.bfloat16)
+    eot = get_tokenizer(True, language="en", task="transcribe").eot
+    print(f"# platform={jax.devices()[0].platform} model={model_name} "
+          f"batches={BATCHES}", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    bmax = _ceil8(max(BATCHES))
+    audio_all = (rng.standard_normal((bmax, 480_000)) * 0.05).astype(np.float32)
+    # guarded mel path for program inputs (known-good)
+    mel_all = np.asarray(log_mel_spectrogram(audio_all))
+
+    # --- leg 0: raw mel, guard bypassed — the known-bad program. On the
+    # TPU backend this SHOULD report NaNs at odd b (detector demo); on CPU
+    # it is clean. Not counted as a failure either way, but a clean TPU
+    # run here would mean the underlying XLA bug got fixed (note it!).
+    for b in BATCHES:
+        raw = np.asarray(_log_mel_jax(jnp.asarray(audio_all[:b]), 80, 0))
+        _row(f"mel_raw_b{b}", ok=True, finite=bool(np.isfinite(raw).all()),
+             note="guard-bypassed known-bad program; finite=False expected on TPU")
+
+    # --- leg 1: encoder forward (bf16, flash backend as served) ---
+    enc = jax.jit(lambda m: encoder_apply(params, dims, m, dtype=jnp.bfloat16))
+    for b in BATCHES:
+        ref = np.asarray(enc(jnp.asarray(mel_all[: _ceil8(b)]))
+                         .astype(jnp.float32))[:b]
+        got = np.asarray(enc(jnp.asarray(mel_all[:b])).astype(jnp.float32))
+        _cmp(f"encoder_b{b}", got, ref, atol=1e-2)
+
+    # --- legs 2+3: greedy and beam decode (the serving programs) ---
+    def decode_tokens(beam, b):
+        task = DecodingTask(
+            model,
+            DecodingOptions(
+                language="en", without_timestamps=True, fp16=True,
+                sample_len=sample_len, beam_size=beam,
+                # suppress EOT so sequences stay long enough to expose
+                # wrong numerics as token flips (bench.py honesty guard)
+                suppress_tokens=f"-1,{eot}",
+            ),
+        )
+        results = task.run(mel_all[:b])
+        return np.array([r.tokens[:sample_len] for r in results])
+
+    for beam in (None, 5):
+        tag = "greedy" if beam is None else f"beam{beam}"
+        for b in BATCHES:
+            ref = decode_tokens(beam, _ceil8(b))[:b]
+            got = decode_tokens(beam, b)
+            ok = bool(np.isfinite(got).all()) and bool((got == ref).all())
+            _row(f"{tag}_b{b}", ok=ok,
+                 mismatched_rows=int((got != ref).any(axis=1).sum()))
+
+    # --- leg 4: train step — per-example CE loss + grad finiteness ---
+    text_len = 32
+    toks_all = rng.integers(0, dims.n_vocab - 10, (bmax, text_len)).astype(np.int32)
+
+    from whisper_flamingo_tpu.models.whisper import decoder_apply
+
+    def per_example_loss(p, mel, toks):
+        xa = encoder_apply(p, dims, mel, dtype=jnp.bfloat16)
+        logits, _ = decoder_apply(p, dims, toks[:, :-1], xa, dtype=jnp.bfloat16)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ll = jnp.take_along_axis(logp, toks[:, 1:, None], axis=-1)[..., 0]
+        return -ll.mean(axis=-1)  # (B,) — per-example, so padding rows
+        # cannot contaminate the compared rows via a batch mean
+
+    loss_fn = jax.jit(per_example_loss)
+    grad_fn = jax.jit(jax.grad(lambda p, m, t: per_example_loss(p, m, t).mean()))
+    for b in BATCHES:
+        b8 = _ceil8(b)
+        ref = np.asarray(loss_fn(params, jnp.asarray(mel_all[:b8]),
+                                 jnp.asarray(toks_all[:b8])))[:b]
+        got = np.asarray(loss_fn(params, jnp.asarray(mel_all[:b]),
+                                 jnp.asarray(toks_all[:b])))
+        _cmp(f"train_loss_b{b}", got, ref, atol=5e-3)
+        g = grad_fn(params, jnp.asarray(mel_all[:b]), jnp.asarray(toks_all[:b]))
+        leaves = jax.tree.leaves(jax.tree.map(
+            lambda a: jnp.isfinite(a.astype(jnp.float32)).all(), g))
+        gfin = bool(np.all([bool(x) for x in leaves]))
+        _row(f"train_grad_finite_b{b}", ok=gfin, finite=gfin)
+
+    print(json.dumps({
+        "summary": "oddbatch_sweep",
+        "platform": jax.devices()[0].platform,
+        "model": model_name,
+        "clean": not _FAILED,
+    }), flush=True)
+    return 1 if _FAILED else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -309,6 +309,13 @@ def _prepare_xt(params: Params, dims: ModelDimensions, xt: jax.Array, dtype) -> 
     embedding over the stream length.
     """
     dec = params["decoder"]
+    if xt.shape[2] > dims.n_text_ctx:
+        raise ValueError(
+            f"conditioning stream length {xt.shape[2]} exceeds n_text_ctx="
+            f"{dims.n_text_ctx}: xt takes the decoder positional embedding "
+            "(reference model.py:322), which caps the stream length. Trim "
+            "or pool the stream (e.g. video to <= 448 frames = 17.9 s @ 25 fps)."
+        )
     if xt.shape[-1] != dims.n_text_state:
         proj = dec["xt_projection"]
         xt = xt.astype(dtype) @ proj["w"].astype(dtype) + proj["b"].astype(dtype)
