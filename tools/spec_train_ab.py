@@ -11,15 +11,29 @@ speedup of `SpeculativeDecodingTask` over plain greedy on the same
 batch, same session. Outputs are also checked token-identical (the
 speculative guarantee) at every acceptance level.
 
+Snapshot policy (round-5 fix): the r4 run snapshotted the draft when
+teacher-forced accuracy crossed fixed thresholds, checked every 10 steps —
+and the overfit jumped 0.45->0.94 inside one window, collapsing every
+threshold onto the same params (speedup table degenerated to one point).
+Accuracy-threshold gating cannot survive a one-step jump no matter the
+cadence, so the draft now snapshots by STEP COUNT: the first step where
+accuracy clears a floor (0.2), then geometrically spaced steps after it,
+then the final converged params. Each snapshot's measured teacher-forced
+accuracy is reported in its row, so the acceptance curve is parameterized
+by what the draft actually is, not by what a threshold hoped it would be.
+A non-degeneracy warning fires if every row still lands on one acceptance
+value.
+
 Usage: python tools/spec_train_ab.py [verifier] [draft] [n_utts] [max_steps]
                                      [max_words]
-       # defaults: tiny debug 12 600 14 (CPU-runnable);
+       # defaults: tiny debug 12 600 44 (CPU-runnable);
        # the flagship measurement: small tiny / medium tiny on-chip.
-       # max_words sets the target-length range (6..max_words words) —
-       # short targets hide the decode-loop effect behind the shared
-       # prefill cost; ~40+ makes the token loop dominate, which is the
-       # regime speculation exists for. (large-v2 as verifier is not
-       # trainable on one 16 GB chip: fp32 adam state alone is ~18 GB.)
+       # max_words sets the target-length range (6..max_words words,
+       # bounds inclusive; values <= 6 are clamped to 7) — short targets
+       # hide the decode-loop effect behind the shared prefill cost;
+       # ~40+ makes the token loop dominate, which is the regime
+       # speculation exists for. (large-v2 as verifier is not trainable
+       # on one 16 GB chip: fp32 adam state alone is ~18 GB.)
 """
 
 import os
@@ -42,7 +56,7 @@ def build_corpus(tokenizer, n_utts, rng, max_words=14):
     for _ in range(n_utts):
         wave = (rng.standard_normal(16000 * int(rng.integers(3, 9)))
                 .astype(np.float32) * 0.08)
-        n_words = int(rng.integers(6, max_words))
+        n_words = int(rng.integers(6, max(max_words, 7) + 1))  # inclusive
         text = " " + " ".join(rng.choice(WORDS) for _ in range(n_words))
         toks = tokenizer.encode(text)
         dec = sot + toks
@@ -87,7 +101,7 @@ def main():
     d_name = sys.argv[2] if len(sys.argv) > 2 else "debug"
     n_utts = int(sys.argv[3]) if len(sys.argv) > 3 else 12
     max_steps = int(sys.argv[4]) if len(sys.argv) > 4 else 600
-    max_words = int(sys.argv[5]) if len(sys.argv) > 5 else 14
+    max_words = int(sys.argv[5]) if len(sys.argv) > 5 else 44
     K = 4
 
     tokenizer = get_tokenizer(True, language="en", task="transcribe")
@@ -120,8 +134,7 @@ def main():
 
         return acc
 
-    def train(name, dims, thresholds):
-        """Overfit; returns {threshold: params_snapshot} + final params."""
+    def make_trainer(name, dims):
         params = init_params(jax.random.PRNGKey(hash(name) % 2**31), dims)
         # warmup + clipping: bare adamw(1e-3) NaNs within 20 steps on a
         # random-init `small` in bf16 on-chip (this is an overfit
@@ -138,26 +151,73 @@ def main():
             dims, tx, freeze_encoder=False, use_xt=False,
             dtype=train_dtype, remat=on_tpu, donate=on_tpu,
         )
-        acc_fn = accuracy_fn(dims)
-        state = TrainState.create(params, tx)
-        snaps, remaining = {}, sorted(thresholds)
+        return TrainState.create(params, tx), step, accuracy_fn(dims)
+
+    def train_verifier(name, dims, threshold):
+        """Overfit until teacher-forced accuracy >= threshold."""
+        state, step, acc_fn = make_trainer(name, dims)
         t0 = time.perf_counter()
         for i in range(max_steps):
             state, metrics = step(state, batch)
-            # check every 10 steps: overfit crosses 0.5->0.95 within ~20
-            # steps, so a 20-step cadence collapses the low thresholds
-            # onto one snapshot and the acceptance curve loses its points
             if (i + 1) % 10 == 0 or i == max_steps - 1:
                 a = float(acc_fn(state.params, batch["input_ids"],
                                  batch["dec_input_ids"], batch["labels"]))
                 print(f"  {name} step {i+1}: loss={float(metrics['loss']):.3f} "
                       f"teacher-forced acc={a:.3f}", flush=True)
-                while remaining and a >= remaining[0]:
-                    snaps[remaining.pop(0)] = jax.device_get(state.params)
-                if not remaining:
+                if a >= threshold:
+                    print(f"  {name} trained in {time.perf_counter() - t0:.0f}s")
+                    return jax.device_get(state.params)
+        raise SystemExit(f"{name} failed to reach acc {threshold} "
+                         f"(raise max_steps)")
+
+    def train_draft_snapshots(name, dims, top_acc):
+        """Overfit, snapshotting by STEP COUNT (see module docstring):
+        the first step whose accuracy clears 0.2 anchors a geometric
+        step ladder (s0, s0+4, s0+10, s0+25, s0+60, ...) so intermediate
+        drafts exist even when accuracy jumps 0.45->0.94 in one step;
+        stops once accuracy reaches ``top_acc``. Returns
+        [(measured_acc, step, params_on_host)] sorted by acc, deduped to
+        rows that differ by >= 0.02 acc."""
+        state, step, acc_fn = make_trainer(name, dims)
+        snaps = []  # (acc, step, host_params)
+        anchor = None
+        ladder = (0, 4, 10, 25, 60, 140, 300)
+        t0 = time.perf_counter()
+        for i in range(max_steps):
+            state, metrics = step(state, batch)
+            loss = float(metrics["loss"])
+            # accuracy every step once the anchor is set (or the loss has
+            # left the random-init plateau) — the draft is the small model
+            # of the pair, one fwd is cheap, and a sparse cadence here is
+            # exactly what collapsed the r4 curve
+            check = (anchor is not None or loss < 8.0
+                     or (i + 1) % 10 == 0 or i == max_steps - 1)
+            if not check:
+                continue
+            a = float(acc_fn(state.params, batch["input_ids"],
+                             batch["dec_input_ids"], batch["labels"]))
+            if anchor is None and a >= 0.2:
+                anchor = i
+            take = (i == max_steps - 1 or a >= top_acc
+                    or (anchor is not None and (i - anchor) in ladder))
+            if take:
+                print(f"  {name} step {i+1}: loss={loss:.3f} "
+                      f"teacher-forced acc={a:.3f}  [snapshot]", flush=True)
+                snaps.append((a, i + 1, jax.device_get(state.params)))
+                if a >= top_acc:
                     break
-        print(f"  {name} trained in {time.perf_counter() - t0:.0f}s")
-        return snaps
+            elif (i + 1) % 10 == 0:
+                print(f"  {name} step {i+1}: loss={loss:.3f} "
+                      f"teacher-forced acc={a:.3f}", flush=True)
+        print(f"  {name} trained in {time.perf_counter() - t0:.0f}s, "
+              f"{len(snaps)} raw snapshots")
+        snaps.sort(key=lambda s: s[0])
+        kept, last_acc = [], -1.0
+        for a, s, p in snaps:
+            if a - last_acc >= 0.02 or (a, s, p) is snaps[-1]:
+                kept.append((a, s, p))
+                last_acc = a
+        return kept
 
     print(f"corpus: {n_utts} utts, verifier={v_name}, draft={d_name}, K={K}")
     # the verifier's absolute teacher-forced accuracy doesn't gate the
@@ -165,17 +225,15 @@ def main():
     # only needs to produce structured text, so 0.95 is plenty; the
     # draft's levels trace the acceptance curve
     V_ACC, D_TOP = 0.95, 0.98
-    v_snaps = train("verifier", dims_v, [V_ACC])
-    if V_ACC not in v_snaps:
-        raise SystemExit("verifier failed to overfit (raise max_steps)")
-    d_snaps = train("draft", dims_d, [0.5, 0.8, D_TOP])
+    v_host = train_verifier("verifier", dims_v, V_ACC)
+    d_snaps = train_draft_snapshots("draft", dims_d, D_TOP)
 
     # snapshots were device_get (host numpy) so training could donate —
     # push them back as DEVICE arrays before timing: numpy params would
     # re-transfer the full fp32 tree through the tunnel on EVERY
     # task.run (~20 s/run for `small` at ~30 MB/s), drowning the
     # measurement in transfer time on both sides of the ratio
-    v_params = jax.device_put(v_snaps[V_ACC])
+    v_params = jax.device_put(v_host)
     jax.block_until_ready(v_params)
     verifier = Whisper(dims=dims_v, params=v_params, dtype=jnp.bfloat16)
     opts = DecodingOptions(language="en", without_timestamps=True,
@@ -198,10 +256,11 @@ def main():
     print(f"\ngreedy {v_name}: {t_g:.3f}s/batch  {audio_s / t_g:.0f}x RT "
           f"({n_tok} tokens)")
 
-    print(f"{'draft acc':>10} {'accept/tok':>10} {'tok/round':>10} "
+    print(f"{'draft acc':>10} {'step':>6} {'accept/tok':>10} {'tok/round':>10} "
           f"{'wall':>8} {'xRT':>8} {'speedup':>8} match")
-    for level in sorted(d_snaps):
-        d_params = jax.device_put(d_snaps[level])
+    acc_rates = []
+    for level, at_step, host_params in d_snaps:
+        d_params = jax.device_put(host_params)
         jax.block_until_ready(d_params)
         draft = Whisper(dims=dims_d, params=d_params, dtype=jnp.bfloat16)
         task = SpeculativeDecodingTask(verifier, draft, opts, draft_len=K)
@@ -213,12 +272,17 @@ def main():
         # drafted per row per round is K
         acc_rate = max(0.0, (stats["accepted_tokens"] / n_utts - rounds)
                        / (rounds * K))
+        acc_rates.append(acc_rate)
         match = all(r.tokens == b for r, b in zip(out, base_toks))
-        print(f"{level:>10.3f} {acc_rate:>10.2f} {tok_round:>10.2f} "
-              f"{t_s:>7.3f}s {audio_s / t_s:>7.0f}x {t_g / t_s:>7.2f}x "
-              f"{match}")
+        print(f"{level:>10.3f} {at_step:>6d} {acc_rate:>10.2f} "
+              f"{tok_round:>10.2f} {t_s:>7.3f}s {audio_s / t_s:>7.0f}x "
+              f"{t_g / t_s:>7.2f}x {match}", flush=True)
         if not match:
             raise SystemExit("speculative output diverged from greedy!")
+    if len(acc_rates) >= 2 and max(acc_rates) - min(acc_rates) < 0.05:
+        print("WARNING: acceptance spread < 0.05 across snapshots — the "
+              "curve is degenerate; raise max_steps / n_utts or use a "
+              "harder corpus", flush=True)
 
 
 if __name__ == "__main__":
