@@ -26,7 +26,16 @@ CPU self-check:   WF_SWEEP_PLATFORM=cpu python tools/oddbatch_sweep.py
 
 Prints one JSON line per leg and a final summary line; exit code 0 iff
 every leg is clean (raw-mel NaN rows are reported but expected on TPU).
-Results recorded next to the mel guard in audio.py and in
+
+RESULT (v5e via axon, 2026-08-20): the bug class does NOT extend beyond
+the mel program. Greedy and beam-5 decode are token-identical at
+b in {9, 12, 17}; per-example train losses match to 1e-3 with finite
+grads; the encoder's odd-batch rows deviate from the padded run by only
+1-3 ulps of the compute dtype (bf16 0.016-0.047, f32 9.5e-7 — same
+relative size, so it is reduction-reassociation rounding under a
+different batch tiling, not a miscompile; the flash kernel and the XLA
+attention fallback deviate identically, and multiple-of-8 shapes are
+bit-identical). Recorded next to the mel guard in audio.py and in
 docs/performance.md.
 """
 
@@ -59,8 +68,8 @@ def _cmp(name: str, got: np.ndarray, want: np.ndarray, atol: float) -> None:
     finite = bool(np.isfinite(got).all())
     diff = float(np.max(np.abs(got.astype(np.float64) - want.astype(np.float64)))) \
         if finite and np.isfinite(want).all() else float("nan")
-    _row(name, ok=finite and diff <= atol, finite=finite, max_row_diff=diff,
-         atol=atol)
+    _row(name, ok=bool(finite and diff <= atol), finite=finite,
+         max_row_diff=diff, atol=float(atol))
 
 
 def main() -> int:
@@ -108,12 +117,39 @@ def main() -> int:
              note="guard-bypassed known-bad program; finite=False expected on TPU")
 
     # --- leg 1: encoder forward (bf16, flash backend as served) ---
+    # Adjudicated on-chip 2026-08-20: odd batches deviate from the padded
+    # run by 1-3 ULPS OF THE COMPUTE DTYPE (bf16 0.016-0.047, f32 9.5e-7,
+    # both at |out|~2.6), identically under the Pallas flash kernel and
+    # the XLA attention fallback, while multiple-of-8 shapes (b8 vs b16
+    # vs b24) are bit-identical (XLA picks the same batch-8 tiling).
+    # Deviation that scales with dtype precision is reduction
+    # reassociation under a different tiling — ordinary rounding, NOT the
+    # mel miscompile class (which emits NaNs). Criterion, therefore:
+    #   * f32 leg at tight tolerance — the discriminator: a real
+    #     miscompile would NOT shrink 5 orders of magnitude in f32;
+    #   * bf16 legs at 8 ulps of the observed output magnitude.
+    def _ulp(x: float, mant_bits: int) -> float:
+        return float(2.0 ** (np.floor(np.log2(abs(x))) - mant_bits))
+
+    enc32 = jax.jit(lambda m: encoder_apply(params, dims, m, dtype=jnp.float32))
+    f9 = np.asarray(enc32(jnp.asarray(mel_all[:9])))
+    f16 = np.asarray(enc32(jnp.asarray(mel_all[:16])))[:9]
+    _cmp("encoder_f32_b9", f9, f16,
+         atol=max(1e-4, 32 * _ulp(float(np.abs(f16).max()), 23)))
+
     enc = jax.jit(lambda m: encoder_apply(params, dims, m, dtype=jnp.bfloat16))
+    e8 = np.asarray(enc(jnp.asarray(mel_all[:8])).astype(jnp.float32))
+    e16 = np.asarray(enc(jnp.asarray(mel_all[:16])).astype(jnp.float32))[:8]
+    control = float(np.max(np.abs(e8 - e16)))
+    _row("encoder_control_b8_vs_b16", ok=True, max_row_diff=control,
+         note="mult-of-8 cross-shape control (measured bit-identical: "
+              "same tiling)")
     for b in BATCHES:
         ref = np.asarray(enc(jnp.asarray(mel_all[: _ceil8(b)]))
                          .astype(jnp.float32))[:b]
         got = np.asarray(enc(jnp.asarray(mel_all[:b])).astype(jnp.float32))
-        _cmp(f"encoder_b{b}", got, ref, atol=1e-2)
+        _cmp(f"encoder_b{b}", got, ref,
+             atol=8 * _ulp(float(np.abs(ref).max()), 7))
 
     # --- legs 2+3: greedy and beam decode (the serving programs) ---
     def decode_tokens(beam, b):

@@ -287,6 +287,13 @@ def log_mel_spectrogram(
     # backend, not in the math). Pad the batch up to a multiple of 8
     # with silent rows and slice back; the log clamp is per-row, so
     # padding rows cannot perturb real rows.
+    # Scope of the bug class (tools/oddbatch_sweep.py, on-chip
+    # 2026-08-20): the OTHER compiled programs are clean at odd
+    # batches — greedy/beam decode token-identical, per-example train
+    # losses equal with finite grads; the encoder deviates by only
+    # 1-3 ulps of the compute dtype (reduction reassociation under a
+    # different tiling, not a miscompile — f32 drops it to 1e-6). So
+    # this guard stays local to the mel program.
     b = audio.shape[0]
     pad_rows = (-b) % 8 if b > 8 else 0
     if pad_rows:
