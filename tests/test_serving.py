@@ -197,6 +197,13 @@ def test_continuous_batcher_pooled_device_refill():
                                     pool_cap=4)
     assert [r.tokens for r in again] == [r.tokens for r in got]
 
+    # LPT admission (sort_admission, the r5 drain-tail lever) only moves
+    # device scheduling: arrival-order admission returns the same rows.
+    cb3 = ContinuousBatcher(model, options=opts, slots=3)
+    ids = [cb3.submit(w, caps[i]) for i, w in enumerate(waves)]
+    by_id = dict(cb3.run_queued(sort_admission=False))
+    assert [by_id[r].tokens for r in ids] == [r.tokens for r in got]
+
 
 def test_continuous_batcher_pooled_speculative():
     """Device-side refill composes with speculative slot stepping."""

@@ -755,7 +755,8 @@ class ContinuousBatcher:
         self._fill_idle_slots()
         return done
 
-    def run_queued(self, pool_cap: Optional[int] = None) -> List[tuple]:
+    def run_queued(self, pool_cap: Optional[int] = None,
+                   sort_admission: bool = True) -> List[tuple]:
         """Drain the current queue with DEVICE-SIDE refill (offline /
         throughput mode): prefill up to ``pool_cap`` queued requests into
         a device-resident pool (ONE bucketed dispatch), then run ONE
@@ -770,7 +771,16 @@ class ContinuousBatcher:
         (dominated by the audio cross-attention slabs — ~55 MB/request
         at small, ~245 MB at large-v2), so cap the pool at flagship
         scale. Requests already in flight in polled slots are untouched
-        (this runs on a fresh slot state)."""
+        (this runs on a fresh slot state).
+
+        ``sort_admission=True`` (default) admits longest-token-budget
+        requests first (LPT order): a long row admitted last extends the
+        drain tail once the pool is empty, idling the other slots.
+        Measured 1.11x on the decode phase for 16-96-token traffic
+        (tools/cb_residual.py, r5). Per-request outputs are unchanged
+        (rows decode independently); only device scheduling moves.
+        Budget-less requests (max_tokens=None) carry the full budget and
+        are admitted first."""
         import jax
 
         self._ensure_state()
@@ -783,6 +793,12 @@ class ContinuousBatcher:
             take = len(self._queue) if pool_cap is None else min(
                 int(pool_cap), len(self._queue))
             reqs = [self._queue.pop(0) for _ in range(take)]
+            if sort_admission:
+                full = self._task.max_len  # None budget => full budget
+                reqs.sort(
+                    key=lambda r: full if r[2] is None else int(r[2]),
+                    reverse=True,
+                )
             pool = self._prefill_many([(w, mt) for _, w, mt in reqs])
             state = self._programs["empty_state"](self.slots)
             out_tok, _, out_lp, out_nsp = self._programs["run_pooled"](
