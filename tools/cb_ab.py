@@ -12,8 +12,10 @@ EOT is suppressed so caps fully determine lengths.
 - continuous: ContinuousBatcher with the same slots, per-request caps.
 
 Prints seconds-of-audio/sec and tokens/sec for both plus the ratio.
-Usage: python tools/cb_ab.py [model] [n_requests] [slots]
-       # defaults: small 32 8
+Usage: python tools/cb_ab.py [model] [n_requests] [slots] [pooled]
+       # defaults: small 32 8; a 4th arg "pooled" skips the 7 polled
+       # variants and runs only padded + pooled (LPT vs arrival-order
+       # admission) — the fast r5 A/B of the shipped sort_admission
 """
 
 import os
@@ -95,6 +97,8 @@ def main():
         (8, True, True, 64),
         (4, True, True, 96),
     ]
+    if len(sys.argv) > 4 and sys.argv[4] == "pooled":
+        variants = []
     for chunk, pipeline, stop, drain in variants:
         cb = ContinuousBatcher(
             model, options=DecodingOptions(sample_len=hi, **opts),
@@ -123,13 +127,21 @@ def main():
         model, options=DecodingOptions(sample_len=hi, **opts), slots=slots,
     )
     cb.transcribe_segments(req_mels, max_tokens=budgets, pooled=True)  # warm
-    t0 = time.perf_counter()
-    out = cb.transcribe_segments(req_mels, max_tokens=budgets, pooled=True)
-    t_cb = time.perf_counter() - t0
-    got_tokens = sum(len(r.tokens) for r in out)
-    print(f"continuous (POOLED device-side refill)             : {t_cb:6.2f}s "
-          f"{audio_s / t_cb:7.1f}x RT  {got_tokens / t_cb:6.0f} useful tok/s"
-          f"  ({t_pad / t_cb:.2f}x vs padded)")
+    # r5 A/B of the shipped LPT admission: same pooled program, only the
+    # host-side admission order differs (3 reps each, best-of — decode
+    # timing through the tunnel is noisy)
+    for sort, tag in ((True, "LPT admission (default)"),
+                      (False, "arrival-order admission")):
+        t_cb = float("inf")
+        for _ in range(3):
+            ids = [cb.submit(m, budgets[i]) for i, m in enumerate(req_mels)]
+            t0 = time.perf_counter()
+            done = cb.run_queued(sort_admission=sort)
+            t_cb = min(t_cb, time.perf_counter() - t0)
+        got_tokens = sum(len(r.tokens) for _, r in done)
+        print(f"continuous (POOLED, {tag:24s}): {t_cb:6.2f}s "
+              f"{audio_s / t_cb:7.1f}x RT  {got_tokens / t_cb:6.0f} useful tok/s"
+              f"  ({t_pad / t_cb:.2f}x vs padded)")
     print(f"ideal = {n_req * hi / total_tokens:.2f}x at zero refill/latency "
           f"overhead")
 

@@ -32,8 +32,16 @@ Usage: python tools/spec_train_ab.py [verifier] [draft] [n_utts] [max_steps]
        # bounds inclusive; values <= 6 are clamped to 7) — short targets
        # hide the decode-loop effect behind the shared prefill cost;
        # ~40+ makes the token loop dominate, which is the regime
-       # speculation exists for. (large-v2 as verifier is not trainable
-       # on one 16 GB chip: fp32 adam state alone is ~18 GB.)
+       # speculation exists for.
+
+Flagship verifier (r5): a `large*` verifier auto-switches its trainer to
+frozen-random-encoder + Adafactor + bf16 frozen masters (the TransKD
+flagship recipe's memory levers) — fp32 Adam state alone (~18 GB) OOMs a
+16 GB chip, but the decoder-only overfit fits AND is the honest regime
+anyway: the verifier only needs structured rollouts keyed on its (fixed)
+audio features, and the flagship question is whether speculation pays
+when the VERIFIER's step is weight-stream-bound (~3 GB bf16/step at
+large-v2) while the draft's is dispatch-floor-bound.
 """
 
 import os
@@ -93,7 +101,15 @@ def main():
     )
     from whisper_flamingo_tpu.speculative import SpeculativeDecodingTask
     from whisper_flamingo_tpu.tokenizer import get_tokenizer
-    from whisper_flamingo_tpu.training.steps import TrainState, make_ce_train_step
+    from whisper_flamingo_tpu.training.optim import (
+        encoder_frozen_mask,
+        whisper_optimizer,
+    )
+    from whisper_flamingo_tpu.training.steps import (
+        TrainState,
+        cast_frozen_bf16,
+        make_ce_train_step,
+    )
 
     import optax
 
@@ -102,6 +118,7 @@ def main():
     n_utts = int(sys.argv[3]) if len(sys.argv) > 3 else 12
     max_steps = int(sys.argv[4]) if len(sys.argv) > 4 else 600
     max_words = int(sys.argv[5]) if len(sys.argv) > 5 else 44
+    mode = sys.argv[6] if len(sys.argv) > 6 else "auto"  # auto|flagship|full
     K = 4
 
     tokenizer = get_tokenizer(True, language="en", task="transcribe")
@@ -134,8 +151,24 @@ def main():
 
         return acc
 
-    def make_trainer(name, dims):
+    def make_trainer(name, dims, flagship=False):
         params = init_params(jax.random.PRNGKey(hash(name) % 2**31), dims)
+        if flagship:
+            # large* verifier: decoder-only overfit with Adafactor +
+            # bf16 frozen encoder masters (the TransKD flagship memory
+            # levers — fp32 Adam state alone OOMs the 16 GB chip)
+            mask = encoder_frozen_mask(params)
+            params = cast_frozen_bf16(params, mask)
+            tx, _ = whisper_optimizer(
+                params, 5e-4, warmup_steps=50, total_steps=max_steps,
+                trainable_mask=mask, max_grad_norm=1.0,
+                optimizer="adafactor",
+            )
+            step = make_ce_train_step(
+                dims, tx, freeze_encoder=True, use_xt=False,
+                dtype=train_dtype, remat=on_tpu, donate=on_tpu,
+            )
+            return TrainState.create(params, tx), step, accuracy_fn(dims)
         # warmup + clipping: bare adamw(1e-3) NaNs within 20 steps on a
         # random-init `small` in bf16 on-chip (this is an overfit
         # harness, not the FT recipe — stability over parity here)
@@ -153,9 +186,9 @@ def main():
         )
         return TrainState.create(params, tx), step, accuracy_fn(dims)
 
-    def train_verifier(name, dims, threshold):
+    def train_verifier(name, dims, threshold, flagship=False):
         """Overfit until teacher-forced accuracy >= threshold."""
-        state, step, acc_fn = make_trainer(name, dims)
+        state, step, acc_fn = make_trainer(name, dims, flagship=flagship)
         t0 = time.perf_counter()
         for i in range(max_steps):
             state, metrics = step(state, batch)
@@ -225,15 +258,25 @@ def main():
     # only needs to produce structured text, so 0.95 is plenty; the
     # draft's levels trace the acceptance curve
     V_ACC, D_TOP = 0.95, 0.98
-    v_host = train_verifier("verifier", dims_v, V_ACC)
+    flagship = (v_name.startswith("large") if mode == "auto"
+                else mode == "flagship")
+    v_host = train_verifier("verifier", dims_v, V_ACC, flagship=flagship)
     d_snaps = train_draft_snapshots("draft", dims_d, D_TOP)
 
     # snapshots were device_get (host numpy) so training could donate —
     # push them back as DEVICE arrays before timing: numpy params would
     # re-transfer the full fp32 tree through the tunnel on EVERY
     # task.run (~20 s/run for `small` at ~30 MB/s), drowning the
-    # measurement in transfer time on both sides of the ratio
-    v_params = jax.device_put(v_host)
+    # measurement in transfer time on both sides of the ratio.
+    # Stored bf16: the decode path casts weights to bf16 at use, so bf16
+    # masters are numerically identical and halve resident HBM — at
+    # large-v2 b8 the fp32 masters (6.2 GB) + bf16 cast + x-attn slabs
+    # would not co-reside
+    v_params = jax.device_put(
+        jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                     if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                     v_host)
+    )
     jax.block_until_ready(v_params)
     verifier = Whisper(dims=dims_v, params=v_params, dtype=jnp.bfloat16)
     opts = DecodingOptions(language="en", without_timestamps=True,
