@@ -3,9 +3,12 @@
 `tools/spec_ab.py` measures the component costs and the full-acceptance
 bound (draft == verifier); this tool closes the remaining gap between
 *projected* and *measured* speedup: it mints a real model pair by
-overfitting the verifier and the draft on one shared synthetic corpus
-(the zero-egress stand-in for a released pair), snapshots the draft at
-several teacher-forced-accuracy levels, and measures — per snapshot —
+overfitting the verifier on a synthetic corpus (the zero-egress stand-in
+for a released checkpoint) and DISTILLING the draft from the verifier's
+own greedy rollout (r5b — the real-world protocol, and the one whose
+teacher-forced accuracy is the acceptance rate's actual upper bound),
+snapshots the draft at several accuracy levels, and measures — per
+snapshot —
 the actual per-token acceptance rate and the end-to-end wall-clock
 speedup of `SpeculativeDecodingTask` over plain greedy on the same
 batch, same session. Outputs are also checked token-identical (the
@@ -186,7 +189,7 @@ def main():
         )
         return TrainState.create(params, tx), step, accuracy_fn(dims)
 
-    def train_verifier(name, dims, threshold, flagship=False):
+    def train_verifier(name, dims, threshold, flagship=False, batch=None):
         """Overfit until teacher-forced accuracy >= threshold."""
         state, step, acc_fn = make_trainer(name, dims, flagship=flagship)
         t0 = time.perf_counter()
@@ -203,7 +206,7 @@ def main():
         raise SystemExit(f"{name} failed to reach acc {threshold} "
                          f"(raise max_steps)")
 
-    def train_draft_snapshots(name, dims, top_acc):
+    def train_draft_snapshots(name, dims, top_acc, batch=None):
         """Overfit, snapshotting by STEP COUNT (see module docstring):
         the first step whose accuracy clears 0.2 anchors a geometric
         step ladder (s0, s0+4, s0+10, s0+25, s0+60, ...) so intermediate
@@ -260,8 +263,8 @@ def main():
     V_ACC, D_TOP = 0.95, 0.98
     flagship = (v_name.startswith("large") if mode == "auto"
                 else mode == "flagship")
-    v_host = train_verifier("verifier", dims_v, V_ACC, flagship=flagship)
-    d_snaps = train_draft_snapshots("draft", dims_d, D_TOP)
+    v_host = train_verifier("verifier", dims_v, V_ACC, flagship=flagship,
+                            batch=batch)
 
     # snapshots were device_get (host numpy) so training could donate —
     # push them back as DEVICE arrays before timing: numpy params would
@@ -298,6 +301,27 @@ def main():
     n_tok = sum(len(t) + 1 for t in base_toks)
     print(f"\ngreedy {v_name}: {t_g:.3f}s/batch  {audio_s / t_g:.0f}x RT "
           f"({n_tok} tokens)")
+
+    # DISTILL the draft from the verifier's own greedy rollout, not the
+    # corpus labels (r5b fix): acceptance is P(draft next token ==
+    # verifier next token | verifier prefix), so the draft's training
+    # targets must be the verifier's trajectory. Training on the corpus
+    # only works when the verifier's rollout reproduces the corpus —
+    # true for the fully-overfit small/medium verifiers, false for the
+    # frozen-encoder flagship one, whose free-running rollout drifts
+    # from labels its teacher-forced accuracy still scores 0.95+ on
+    # (measured: corpus-trained draft at 0.973 teacher-forced acc got
+    # 0.05 acceptance). This is also the real-world protocol: released
+    # draft models are distilled from the verifier, not the data.
+    sot = list(tokenizer.sot_sequence_including_notimestamps)
+    distill_rows = []
+    for (w, _, _), t in zip(rows, base_toks):
+        dec_r = sot + list(t)
+        distill_rows.append((w, dec_r, dec_r[1:] + [tokenizer.eot]))
+    d_dec, d_lab = batchify(distill_rows, tokenizer.eot)
+    d_batch = {"input_ids": np.asarray(mels), "dec_input_ids": d_dec,
+               "labels": d_lab}
+    d_snaps = train_draft_snapshots("draft", dims_d, D_TOP, batch=d_batch)
 
     print(f"{'draft acc':>10} {'step':>6} {'accept/tok':>10} {'tok/round':>10} "
           f"{'wall':>8} {'xRT':>8} {'speedup':>8} match")
