@@ -155,13 +155,22 @@ def main():
         return acc
 
     def make_trainer(name, dims, flagship=False):
-        params = init_params(jax.random.PRNGKey(hash(name) % 2**31), dims)
+        # init under ONE jit program: eager init_params dispatches one
+        # ~44 ms tunnel round trip per tensor — ~15 min for large-v2's
+        # hundreds of params (measured, r5); jitted it is one dispatch
+        key = jax.random.PRNGKey(hash(name) % 2**31)
         if flagship:
             # large* verifier: decoder-only overfit with Adafactor +
             # bf16 frozen encoder masters (the TransKD flagship memory
             # levers — fp32 Adam state alone OOMs the 16 GB chip)
+            @jax.jit
+            def _init(k):
+                p = init_params(k, dims)
+                return cast_frozen_bf16(p, encoder_frozen_mask(p))
+
+            params = _init(key)
+            jax.block_until_ready(params)
             mask = encoder_frozen_mask(params)
-            params = cast_frozen_bf16(params, mask)
             tx, _ = whisper_optimizer(
                 params, 5e-4, warmup_steps=50, total_steps=max_steps,
                 trainable_mask=mask, max_grad_norm=1.0,
@@ -172,6 +181,8 @@ def main():
                 dtype=train_dtype, remat=on_tpu, donate=on_tpu,
             )
             return TrainState.create(params, tx), step, accuracy_fn(dims)
+        params = jax.jit(lambda k: init_params(k, dims))(key)
+        jax.block_until_ready(params)
         # warmup + clipping: bare adamw(1e-3) NaNs within 20 steps on a
         # random-init `small` in bf16 on-chip (this is an overfit
         # harness, not the FT recipe — stability over parity here)
