@@ -213,6 +213,11 @@ def main() -> None:
                     "unit": "none",
                     "error": f"device backend init exceeded {init_timeout:.0f}s "
                              "(TPU tunnel unreachable?)",
+                    # the tunnel wedges for hours at a time (CLAUDE.md);
+                    # the most recent completed full-bench transcript is
+                    # archived in-tree so a wedge at driver time doesn't
+                    # erase the round's measured rows.
+                    "archived_run": "docs/measurements/r5/bench.log",
                 }),
                 flush=True,
             )
